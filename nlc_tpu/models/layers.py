@@ -1,0 +1,165 @@
+"""Shared Flax building blocks (NHWC, TPU-layout).
+
+These are fresh implementations of the primitives the reference builds from
+torch (src/nn_util.py, src/unet_simple.py:27-189, src/unet_adm.py:66-393),
+designed for XLA/TPU:
+
+  * NHWC everywhere — XLA's TPU conv layout; converters transpose torch NCHW.
+  * GroupNorm runs in fp32 regardless of activation dtype (the reference's
+    GroupNorm32, nn_util.py:17-20) and groups contiguous channels like torch.
+  * Attention softmax accumulates in fp32 (mirrors the fp32-stable tricks in
+    unet_adm.py:361 and edm_networks.py:124-139); the contraction itself uses
+    the MXU via einsum with preferred_element_type.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal embedding, DDPM convention: concat(sin, cos).
+
+    Matches reference unet_simple.get_timestep_embedding (src/unet_simple.py:6-24):
+    frequencies exp(-log(1e4) * i / (half-1)).
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) / (half - 1) * jnp.arange(half, dtype=jnp.float32))
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """ADM/guided-diffusion convention: concat(cos, sin), freqs over half
+    (src/nn_util.py:103-121)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over NHWC with contiguous channel groups, computed in fp32."""
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        assert c % g == 0, f"channels {c} not divisible by groups {g}"
+        x32 = x.astype(jnp.float32)
+        shape = x.shape[:-1] + (g, c // g)
+        xg = x32.reshape(shape)
+        # normalize over spatial dims + within-group channels
+        red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        mean = xg.mean(axis=red_axes, keepdims=True)
+        var = xg.var(axis=red_axes, keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
+        x32 = xg.reshape(x.shape)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (x32 * scale + bias).astype(orig_dtype)
+
+
+class Conv3x3(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros_init() if self.zero_init else nn.initializers.lecun_normal()
+        return nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
+                       kernel_init=init, name="conv")(x)
+
+
+def nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x[:, :, None, :, None, :]
+    x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + optional 3x3 conv (reference unet_simple.py:36-52)."""
+    with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nearest_upsample_2x(x)
+        if self.with_conv:
+            x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv with the DDIM asymmetric (right/bottom) zero pad
+    (reference unet_simple.py:55-74), or 2x2 avg-pool without conv."""
+    with_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.with_conv:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            x = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
+                        dtype=self.dtype, name="conv")(x)
+        else:
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              scale: Optional[float] = None) -> jnp.ndarray:
+    """Multi-head attention core over (B, H, N, D) with fp32 softmax.
+
+    Small spatial sequences (N <= 4096 at every UNet attention resolution) fit
+    VMEM comfortably; XLA fuses this well. A Pallas flash kernel is used for
+    the larger resolutions via ops.attention.
+    """
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+
+
+class SpatialSelfAttention(nn.Module):
+    """Single-head spatial self-attention block with conv projections
+    (reference unet_simple.AttnBlock, src/unet_simple.py:137-189).
+
+    norm -> 1x1 q/k/v convs -> softmax((q k)/sqrt(c)) -> 1x1 out conv -> +x.
+    """
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hn = GroupNorm(name="norm")(x)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(hn)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(hn)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(hn)
+        q = q.reshape(b, 1, h * w, c)
+        k = k.reshape(b, 1, h * w, c)
+        v = v.reshape(b, 1, h * w, c)
+        o = attention(q, k, v, scale=int(c) ** -0.5).reshape(b, h, w, c)
+        o = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(o)
+        return x + o

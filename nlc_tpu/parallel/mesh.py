@@ -1,0 +1,92 @@
+"""Device mesh + sharding runtime — the TPU-native counterpart of the
+reference's three distributed bootstraps (src/dist_util.py:21-45 MPI/NCCL,
+torch_utils/distributed.py:14-32 torchrun env, basicsr/utils/dist_util.py:17-64
+pytorch/slurm launchers).
+
+On TPU there is no backend plumbing to write: `jax.distributed.initialize()`
+wires up multi-host, `Mesh` + `NamedSharding` declare the layout, and XLA emits
+ICI/DCN collectives. The reference's collective surface maps as:
+
+    sync_params broadcast          -> replicated NamedSharding (params)
+    DDP gradient all-reduce        -> jax.lax.pmean inside jit / sharded grads
+    dist.barrier()                 -> implicit in collective compilation
+    rank-sharded dataset           -> host_local_batch / process_index slicing
+    rank-0 checkpoint + barrier    -> is_primary() guard around host I/O
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap. No-op for single-process runs.
+
+    Counterpart of dist_util.setup_dist (reference src/dist_util.py:21-45):
+    instead of MPI-broadcasting a rendezvous address into env vars and creating
+    an NCCL process group, JAX discovers peers from the TPU runtime (or the
+    explicit coordinator address) once per process.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized by the runtime
+    if coordinator is not None or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = None,
+              devices=None) -> Mesh:
+    """Build a device mesh. Default: 1-D 'data' mesh over all devices.
+
+    The reference's only parallelism is data-parallel (SURVEY.md §2.4); a 1-D
+    mesh covers parity. `axes`/`shape` leave room for a model axis later.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    devices = devices.reshape(tuple(shape))
+    return Mesh(devices, tuple(axes))
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Shard axis 0 (batch) over the data mesh axis; replicate the rest."""
+    spec = P(axis, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with axis-0 sharded over the data axis."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params, scheduler tables) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def is_primary() -> bool:
+    """Host I/O guard — counterpart of `dist.get_rank() == 0` checks."""
+    return jax.process_index() == 0
+
+
+def host_local_batch(global_indices: np.ndarray) -> np.ndarray:
+    """Shard sample indices across processes (reference src/image_dataset.py:66-70
+    shards the dataset by MPI rank; here each host takes a strided slice)."""
+    return global_indices[jax.process_index():: jax.process_count()]
