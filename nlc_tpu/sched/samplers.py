@@ -53,10 +53,11 @@ def get_eps_logvar(sigma_t: jnp.ndarray, sigma_prev: jnp.ndarray, sampler_var: s
     post_var = beta_t * coef
     max_logvar = jnp.log(beta_t)
     min_logvar = jnp.log(jnp.clip(post_var, a_min=min_var_coef))
-    if sampler_var == "learned":
-        assert learned_logvar is not None
+    if sampler_var == "learned" and learned_logvar is not None:
         frac = (learned_logvar + 1.0) / 2.0
         return frac * max_logvar + (1.0 - frac) * min_logvar
+    # 'learned' without a variance-predicting model falls back to the
+    # posterior (fixedsmall) variance.
     if sampler_var == "fixedlarge":
         return max_logvar
     # 'fixedsmall' and the 'none' fallback (reference returns None for 'none';
@@ -104,12 +105,16 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
 
     `noise` must be pre-drawn standard normal of x0's shape (pure function —
     the caller owns RNG). `eta` overrides cfg.eta (reference `new_eta` swaps
-    eta for the final step, experiments.py:347-348). For the 'ge' sampler pass
+    eta for the final step, experiments.py:347-348) and may be a traced scalar
+    so per-step eta works inside lax.scan: every rule is written so eta == 0
+    reduces exactly to the reference's deterministic branch (the noise terms
+    carry an eta (or derived-zero) factor). For the 'ge' sampler pass
     ge_state = {'eps_prev': ..., 'i': step_index}; returns (x_prev, new_state),
     otherwise returns x_prev.
     """
     name = cfg.name
     eta = cfg.eta if eta is None else eta
+    eta = jnp.asarray(eta, x0.dtype)
 
     if name == "ddpm":
         noise_sigma = jnp.exp(0.5 * logvar) * jnp.sqrt(sigma_prev ** 2 + 1)
@@ -133,16 +138,12 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
     if name in ("ddim", "ddim_orig"):
         if name == "ddim_orig":
             eps = (xt - x0) / sigma_t
-        if eta > 0:
-            ddpm_noise_sigma = jnp.exp(0.5 * logvar)
-            noise_sigma = eta * ddpm_noise_sigma * jnp.sqrt(sigma_prev ** 2 + 1)
-            nz = _mask_noise(noise, sigma_prev > 0)
-        else:
-            noise_sigma = jnp.zeros_like(sigma_prev)
-            nz = jnp.zeros_like(noise)
+        ddpm_noise_sigma = jnp.exp(0.5 * logvar) if logvar is not None else jnp.zeros(())
+        noise_sigma = eta * ddpm_noise_sigma * jnp.sqrt(sigma_prev ** 2 + 1)
+        nz = _mask_noise(noise, sigma_prev > 0)
         signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, a_min=0))
         if name == "ddim":
-            noise_sigma = jnp.sqrt(sigma_prev ** 2 - signal_sigma ** 2)
+            noise_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - signal_sigma ** 2, a_min=0))
         return x0 + signal_sigma * eps + noise_sigma * nz
 
     if name in ("ddim_simple", "ddim_simple_orig", "ddim_simple_drag"):
@@ -151,11 +152,8 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
         if name == "ddim_simple_drag":
             signal_sigma = sigma_prev
         else:
-            signal_sigma = math.sqrt(max(1.0 - eta ** 2, 0.0)) * sigma_prev
-        x_prev = x0 + signal_sigma * eps
-        if eta > 0:
-            x_prev = x_prev + eta * sigma_prev * noise
-        return x_prev
+            signal_sigma = jnp.sqrt(jnp.clip(1.0 - eta ** 2, a_min=0.0)) * sigma_prev
+        return x0 + signal_sigma * eps + eta * sigma_prev * noise
 
     if name == "ge":
         assert ge_state is not None, "ge sampler needs eps-momentum state"
@@ -169,9 +167,8 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
             jnp.clip(1 - (sigma_prev / sigma_t) ** 2, a_min=0))
         signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, a_min=0))
         x_prev = x0 + signal_sigma * eps_av
-        if eta > 0:
-            nz = _mask_noise(noise, sigma_t > cfg.schedule.sigmas[0])
-            x_prev = x_prev + noise_sigma * nz
+        nz = _mask_noise(noise, sigma_t > cfg.schedule.sigmas[0])
+        x_prev = x_prev + noise_sigma * nz
         return x_prev, {"eps_prev": eps, "i": ge_state["i"] + 1}
 
     raise NotImplementedError(f"unknown sampler {name!r}")

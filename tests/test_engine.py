@@ -1,0 +1,222 @@
+"""Engine tests: scan denoise/projection loops, incl. end-to-end golden parity
+against the reference's torch denoise_loop on a converted checkpoint."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlc_tpu.engine import (DenoiseConfig, ModelBundle, denoise_loop, projection_loop,
+                            init_noise, make_clip_fn, build_denoise_fn)
+from nlc_tpu.engine.loops import set_norm_maxmin
+from nlc_tpu.models.ddim_unet import DDIMUNet, DDIMUNetConfig
+from nlc_tpu.models.sigma_head import SigmaHead, sigma_head_for_unet
+from nlc_tpu.io.torch_convert import convert_ddim_unet, convert_sigma_head
+from nlc_tpu.sched import get_sampler
+from tests.conftest import requires_reference
+
+SMALL = DDIMUNetConfig(ch=32, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                       attn_resolutions=(8,), in_channels=3, resolution=16)
+
+
+def make_bundle(seed=0):
+    model = DDIMUNet(SMALL)
+    x = jnp.zeros((2, 16, 16, 3))
+    params = model.init(jax.random.PRNGKey(seed), x, jnp.array([0., 0.]))
+    hcfg = sigma_head_for_unet(SMALL.feat_shape, n_blocks=2)
+    head = SigmaHead(hcfg)
+    feat = jnp.zeros((2,) + SMALL.feat_shape)
+    svars = head.init(jax.random.PRNGKey(seed + 1), feat)
+    bundle = ModelBundle(
+        forward=lambda p, z, t: model.apply(p, z, t),
+        encode=lambda p, z, t: model.apply(p, z, t, method=DDIMUNet.encode),
+        sigma=lambda v, f: head.apply(v, f),
+        learn_epsvar=False,
+    )
+    return bundle, params, svars
+
+
+def test_denoise_loop_runs_and_is_deterministic():
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ddim_simple_orig", 1000, 4, sigma_style="Linear",
+                    sampler_var="fixedsmall", eta=0.0)
+    cfg = DenoiseConfig(style="pred", norm_eps=True, refine_prior_sigma=True,
+                        clip_fn="clamp", norm_max=0.9, norm_min=0.0,
+                        sigma_pred_threshold=960)
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    out1, _ = denoise_loop(s, bundle, cfg, params, svars, xT, seeds)
+    out2, _ = denoise_loop(s, bundle, cfg, params, svars, xT, seeds)
+    assert out1.shape == (2, 16, 16, 3)
+    assert bool(jnp.isfinite(out1).all())
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_denoise_loop_batch_invariant_noise():
+    """Per-sample seeding: sample i identical whether batched alone or with
+    others — the property the reference gets from StackedRandomGenerator."""
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ddim_simple", 1000, 4, sigma_style="Linear", eta=0.5,
+                    sampler_var="fixedsmall")
+    cfg = DenoiseConfig(style="base")
+    seeds2 = jnp.arange(2)
+    xT2 = init_noise(s, seeds2, (16, 16, 3))
+    out2, _ = denoise_loop(s, bundle, cfg, params, svars, xT2, seeds2)
+    seeds1 = jnp.arange(1)
+    xT1 = init_noise(s, seeds1, (16, 16, 3))
+    out1, _ = denoise_loop(s, bundle, cfg, params, svars, xT1, seeds1)
+    np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), atol=1e-5)
+
+
+def test_projection_loop_runs():
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ddim_simple_orig", 1000, 4, sigma_style="Linear",
+                    continuous_t=True, sampler_var="fixedsmall", eta=0.0)
+    cfg = DenoiseConfig(style="pred", norm_eps=True, refine_prior_sigma=True,
+                        sigma_estimate_rate=(0.0, 1.0, 0.0, 0.0), max_T=6,
+                        norm_max=0.9)
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    out, logs = projection_loop(s, bundle, cfg, params, svars, xT, seeds)
+    assert out.shape == (2, 16, 16, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_clip_fns():
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 3) * 3)
+    assert float(jnp.abs(make_clip_fn("clamp")(x)).max()) <= 1.0
+    dyn = make_clip_fn("dynamic")(x)
+    assert float(jnp.abs(dyn).max()) <= 1.0
+    none = make_clip_fn("none")(x)
+    np.testing.assert_array_equal(np.asarray(none), np.asarray(x))
+
+
+def test_constraint_best_tracking():
+    """best-x0 selection keeps the lowest-constraint iterate."""
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ddim_simple_orig", 1000, 4, sigma_style="Linear",
+                    sampler_var="fixedsmall", eta=0.0)
+    target = jnp.zeros((2, 16, 16, 3))
+    constrain_fn = lambda x0: 0.5 * x0 + 0.5 * target
+    constrain_loss = lambda x0: jnp.abs(x0 - target).sum(axis=(1, 2, 3))
+    cfg = DenoiseConfig(style="base", return_best=True)
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    best, _ = denoise_loop(s, bundle, cfg, params, svars, xT, seeds,
+                           constrain_fn=constrain_fn, constrain_loss=constrain_loss)
+    last_cfg = DenoiseConfig(style="base", return_best=False)
+    last, _ = denoise_loop(s, bundle, last_cfg, params, svars, xT, seeds,
+                           constrain_fn=constrain_fn, constrain_loss=constrain_loss)
+    lb = float(jnp.mean(jnp.abs(jnp.clip(best, -1, 1) - target).sum(axis=(1, 2, 3))))
+    ll = float(jnp.mean(jnp.abs(jnp.clip(last, -1, 1) - target).sum(axis=(1, 2, 3))))
+    assert lb <= ll + 1e-5
+
+
+def _stub_missing_reference_deps():
+    """The reference imports pytorch_fid/torchvision which this image lacks;
+    the code paths under test never touch them."""
+    import sys, types
+
+    if "pytorch_fid" not in sys.modules:
+        pf = types.ModuleType("pytorch_fid")
+        fs = types.ModuleType("pytorch_fid.fid_score")
+        fs.calculate_fid_given_paths = lambda *a, **k: 0.0
+        fs.compute_statistics_of_path = lambda *a, **k: (None, None)
+        fs.calculate_frechet_distance = lambda *a, **k: 0.0
+        inc = types.ModuleType("pytorch_fid.inception")
+
+        class _FakeInception:
+            BLOCK_INDEX_BY_DIM = {2048: 3}
+
+            def __init__(self, *a, **k):
+                pass
+
+            def to(self, *a, **k):
+                return self
+
+        inc.InceptionV3 = _FakeInception
+        sys.modules["pytorch_fid"] = pf
+        sys.modules["pytorch_fid.fid_score"] = fs
+        sys.modules["pytorch_fid.inception"] = inc
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.save_image = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tvu
+
+
+def _torch_setup(style, refine, torch_seed=0):
+    import sys, types, torch
+    sys.path.insert(0, "/root/reference")
+    _stub_missing_reference_deps()
+    from src.unet_simple import Model as TorchModel, SigmaModel as TorchSigma
+    from src.schedulers import get_sampler as torch_get_sampler
+    from src.experiments import ImageExperiment
+
+    cfgm = types.SimpleNamespace(ch=32, out_ch=3, ch_mult=[1, 2], num_res_blocks=1,
+                                 attn_resolutions=[8], dropout=0.0, in_channels=3,
+                                 resamp_with_conv=True, type="simple", feat_layer=0)
+    tcfg = types.SimpleNamespace(model=cfgm, data=types.SimpleNamespace(image_size=16),
+                                 diffusion=types.SimpleNamespace(num_diffusion_timesteps=1000))
+    torch.manual_seed(torch_seed)
+    tm = TorchModel(tcfg).eval()
+    tsig = TorchSigma(dim=8, channels=64, n_blocks=2, out_dim=1, dropout=0.0).eval()
+    with torch.no_grad():  # give BatchNorm non-trivial running stats
+        tsig.train()
+        for _ in range(2):
+            tsig(torch.randn(8, 64, 8, 8))
+        tsig.eval()
+
+    sampler = torch_get_sampler("ddim_simple_orig", 1000, 5, sigma_style="Linear",
+                                sampler_var="fixedsmall", eta=0.0)
+    exp = ImageExperiment(tm, sampler, batch_size=2, data_shape=(3, 16, 16),
+                          seed=0, device="cpu", save_folder="/tmp")
+    exp.set_model(tm, tsig, learn_epsvar=False)
+    exp.set_norm_maxmin(-2.0, 14.0)  # norm/sqrt(dim): dim=768 -> max ~0.505
+    exp.set_clip_fn("clamp")
+    return tm, tsig, sampler, exp
+
+
+@requires_reference
+@pytest.mark.parametrize("style,refine", [("base", False), ("pred", True),
+                                          ("pred_partial", True)])
+def test_denoise_loop_matches_torch_reference(reference_path, style, refine):
+    import torch
+    tm, tsig, tsampler, exp = _torch_setup(style, refine)
+
+    xT_np = np.random.RandomState(3).randn(2, 3, 16, 16).astype(np.float32) * 5
+    with torch.no_grad():
+        ref_out, _ = exp.denoise_loop(shape=(2, 3, 16, 16), xT=torch.from_numpy(xT_np),
+                                      style=style, norm_eps=(style != "base"),
+                                      refine_prior_sigma=refine, return_log=False,
+                                      chunk_size=1, sigma_pred_threshold=960,
+                                      return_best=True)
+    ref_out = ref_out.numpy()
+
+    # ours, same weights via converters
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": convert_ddim_unet(sd, SMALL)}
+    ssd = {k: v.detach().numpy() for k, v in tsig.state_dict().items()}
+    hcfg = sigma_head_for_unet(SMALL.feat_shape, n_blocks=2)
+    sp, sbs = convert_sigma_head(ssd, hcfg)
+    svars = {"params": sp, "batch_stats": sbs}
+
+    model = DDIMUNet(SMALL)
+    head = SigmaHead(hcfg)
+    bundle = ModelBundle(
+        forward=lambda p, z, t: model.apply(p, z, t),
+        encode=lambda p, z, t: model.apply(p, z, t, method=DDIMUNet.encode),
+        sigma=lambda v, f: head.apply(v, f),
+        learn_epsvar=False,
+    )
+    s = get_sampler("ddim_simple_orig", 1000, 5, sigma_style="Linear",
+                    sampler_var="fixedsmall", eta=0.0)
+    nmin, nmax = set_norm_maxmin((16, 16, 3), -2.0, 14.0)
+    cfg = DenoiseConfig(style=style, norm_eps=(style != "base"),
+                        refine_prior_sigma=refine, clip_fn="clamp",
+                        sigma_pred_threshold=960, norm_max=nmax, norm_min=nmin)
+    xT = jnp.asarray(np.transpose(xT_np, (0, 2, 3, 1)))
+    out, _ = denoise_loop(s, bundle, cfg, params, svars, xT, jnp.arange(2))
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_nchw, ref_out, atol=5e-3, rtol=1e-2)
