@@ -1,0 +1,189 @@
+"""EDM Heun (2nd-order) sampler with noise-level correction, as one lax.scan.
+
+Behavior parity with reference src/experiments.py (EDMImageExperiment):
+  encode_edm / pred_edm preconditioned calls   :777-802
+  EDM get_denoise_vector (refine + NLC)        :804-843
+  edm_sampler (S_churn, Euler + Heun substeps,
+               eps blending / rescale)          :846-918
+
+Sub-step styles (per the reference's comma pair, e.g. 'pred_partial,pred'):
+  base          no correction
+  pred          corrected sigma for both the denoiser call and the step size
+  pred_partial  corrected sigma for the denoiser call; original grid sigma for
+                the step (variants pred_partial3 changes the Heun base point,
+                pred_sigma denoises at the ORIGINAL sigma)
+
+The reference runs this loop in float64 on CUDA; on TPU we keep float32 — the
+Heun trajectories agree to ~1e-3 over 18 steps (covered by golden tests).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.song_unet import EDMPrecond
+from ..utils.norms import normalize, vector_norm, cosine_similarity
+from ..utils.rng import per_sample_step_noise
+
+
+@dataclass(frozen=True)
+class EDMModelBundle:
+    """forward/encode of the raw F-theta net; precond wraps them."""
+    forward: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    encode: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+    sigma: Callable[[Any, jnp.ndarray], jnp.ndarray]
+    precond: EDMPrecond = EDMPrecond()
+
+
+@dataclass(frozen=True)
+class EDMSamplerConfig:
+    num_steps: int = 18
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    rho: float = 7.0
+    S_churn: float = 0.0
+    S_min: float = 0.0
+    S_max: float = float("inf")
+    S_noise: float = 1.0
+    sigma_scheduler: str = "EDM"          # 'EDM' | 'Linear'
+    style: str = "base,base"              # style_t, style_next
+    norm_eps: str = "000"                 # [euler eps, combined eps, unused]
+    refine_prior_sigma: bool = False
+    eps_ratio: float = 0.5
+    eps_scale: Optional[float] = 1.0      # None -> cosine-similarity rescale
+    use_second_order: bool = True
+    norm_max: float = 1.0
+    norm_min: float = 0.0
+
+
+def edm_sigma_grid(cfg: EDMSamplerConfig) -> np.ndarray:
+    n = cfg.num_steps
+    if cfg.sigma_scheduler == "EDM":
+        i = np.arange(n, dtype=np.float64)
+        sig = (cfg.sigma_max ** (1 / cfg.rho)
+               + i / (n - 1) * (cfg.sigma_min ** (1 / cfg.rho)
+                                - cfg.sigma_max ** (1 / cfg.rho))) ** cfg.rho
+    elif cfg.sigma_scheduler == "Linear":
+        sig = np.exp(np.linspace(np.log(cfg.sigma_max), np.log(cfg.sigma_min), n))
+    else:
+        raise NotImplementedError(cfg.sigma_scheduler)
+    return np.concatenate([sig, [0.0]])
+
+
+def _denoise_vector(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
+                    x, sigma_t, sigma_prev, style: str, norm_eps: bool, dim: float):
+    """EDM get_denoise_vector (reference :804-843). sigma_* are (B,1,1,1)."""
+    sigma_orig = sigma_t
+    if cfg.refine_prior_sigma:
+        norm_x = vector_norm(x, keepdims=True) / math.sqrt(dim)
+        min_dist = jnp.clip(norm_x - cfg.norm_max, a_min=0.0)
+        max_dist = norm_x + cfg.norm_min
+        sigma_t = jnp.clip(sigma_t, min_dist, max_dist)
+
+    if "pred" in style:
+        feat = bundle.precond.encode(
+            lambda z, t: bundle.encode(params, z, t), x, sigma_t.reshape(-1))
+        residual = bundle.sigma(svars, feat)
+        dist_hat = sigma_t * (1.0 + residual)
+        dist_prev_hat = dist_hat * (sigma_prev / jnp.where(sigma_t == 0, 1.0, sigma_t))
+        sigma_t = dist_hat
+        if style == "pred":
+            sigma_prev = dist_prev_hat
+
+    den_sigma = sigma_orig if style == "pred_sigma" else sigma_t
+    denoised = bundle.precond(
+        lambda z, t: bundle.forward(params, z, t), x, den_sigma.reshape(-1))
+    eps = (x - denoised) / den_sigma
+    if norm_eps:
+        eps = normalize(eps, int(dim))
+    return eps, denoised, sigma_t, sigma_prev
+
+
+def edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
+                seeds: jnp.ndarray, sample_shape: Tuple[int, ...],
+                latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Full Heun sampling loop. Per-sample seeded latents/churn noise give the
+    reference's StackedRandomGenerator property (image i independent of batch)."""
+    n = cfg.num_steps
+    grid = edm_sigma_grid(cfg)
+    batch = seeds.shape[0]
+    dim = float(np.prod(sample_shape))
+    style_t, style_next = cfg.style.split(",")
+    ne_euler = bool(int(cfg.norm_eps[0]))
+    ne_comb = bool(int(cfg.norm_eps[1]))
+
+    gammas = np.where((cfg.S_min <= grid[:-1]) & (grid[:-1] <= cfg.S_max),
+                      min(cfg.S_churn / n, math.sqrt(2) - 1), 0.0)
+    xs = {
+        "ind": jnp.arange(n),
+        "sigma_cur": jnp.asarray(grid[:-1], jnp.float32),
+        "sigma_next": jnp.asarray(grid[1:], jnp.float32),
+        "gamma": jnp.asarray(gammas, jnp.float32),
+        "second": jnp.asarray(np.arange(n) < n - 1) & cfg.use_second_order,
+    }
+
+    if latents is None:
+        latents = per_sample_step_noise(seeds, jnp.asarray(0), sample_shape,
+                                        stream=2000003)
+    x0 = latents * grid[0]
+
+    def bcast(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1, 1, 1, 1),
+                                (batch, 1, 1, 1))
+
+    def step(x, s):
+        x_cur = x
+        sigma_cur = bcast(s["sigma_cur"])
+        sigma_next0 = bcast(s["sigma_next"])
+        sigma_hat0 = sigma_cur * (1.0 + s["gamma"])
+        churn = per_sample_step_noise(seeds, s["ind"], sample_shape, stream=7)
+        x_hat = x_cur + jnp.sqrt(jnp.clip(sigma_hat0 ** 2 - sigma_cur ** 2, a_min=0)) \
+            * cfg.S_noise * churn
+
+        eps, denoised, sigma_hat, sigma_next = _denoise_vector(
+            bundle, cfg, params, svars, x_hat, sigma_hat0, sigma_next0,
+            style_t, ne_euler, dim)
+        eps = eps * (sigma_hat / sigma_hat0)
+        if "pred_partial" in style_t:
+            sigma_next = sigma_next0
+        if style_t == "pred_partial":
+            x_next = x_hat + (sigma_next - sigma_hat0) * eps
+        else:
+            x_next = x_hat + (sigma_next - sigma_hat) * eps
+        if style_t == "pred_partial3":
+            sigma_hat = sigma_hat0
+
+        def second_order(x_next):
+            eps_next, _, sigma_next_c, _ = _denoise_vector(
+                bundle, cfg, params, svars, x_next, sigma_next0,
+                jnp.zeros_like(sigma_next0), style_next, ne_euler, dim)
+            eps_n = eps_next * (sigma_next_c / jnp.where(sigma_next0 == 0, 1.0,
+                                                         sigma_next0))
+            sig_n = sigma_next0 if "pred_partial" in style_next else sigma_next_c
+            new_eps = cfg.eps_ratio * eps + (1 - cfg.eps_ratio) * eps_n
+            if ne_comb:
+                new_eps = normalize(new_eps, int(dim))
+            if cfg.eps_scale is not None:
+                new_eps = new_eps / cfg.eps_scale
+            else:
+                cs = cosine_similarity(new_eps, eps).reshape(batch, 1, 1, 1)
+                new_eps = new_eps * cs
+            return x_hat + (sig_n - sigma_hat) * new_eps
+
+        x_next = jax.lax.cond(s["second"], second_order, lambda xn: xn, x_next)
+        return x_next, None
+
+    x_final, _ = jax.lax.scan(step, x0, xs)
+    return x_final
+
+
+def build_edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig,
+                      sample_shape: Tuple[int, ...]):
+    fn = partial(edm_sampler, bundle, cfg, sample_shape=sample_shape)
+    return jax.jit(lambda params, svars, seeds: fn(params, svars, seeds=seeds))
