@@ -1,0 +1,237 @@
+"""SVD operator suite: closed-form identities (A A+ A = A, V orthonormal) on
+every operator + golden parity against the reference torch implementations."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlc_tpu.operators import (
+    Denoising, Inpainting, Colorization, SuperResolution, WalshHadamardCS,
+    BlockCS, GeneralA, SRConv, Deblurring, Deblurring2D, bicubic_kernel_1d,
+    svd_constraint, get_constraint_function, flatten_chw, unflatten_chw,
+)
+from tests.conftest import requires_reference
+
+D = 16   # image dim
+C = 3
+N = C * D * D
+RNG = np.random.RandomState(0)
+
+
+def make_ops():
+    missing_r = RNG.permutation(D * D)[: D * D // 4] * 3
+    missing = np.concatenate([missing_r, missing_r + 1, missing_r + 2])
+    perm = RNG.permutation(D * D)
+    k = np.arange(-2, 3, dtype=np.float64)
+    gauss = np.exp(-0.5 * (k / 10.0) ** 2)
+    gauss /= gauss.sum()
+    bic = bicubic_kernel_1d(4)
+    x1 = np.arange(-4, 5, dtype=np.float64)
+    k1 = np.exp(-0.5 * (x1 / 1.0) ** 2); k1 /= k1.sum()
+    k2 = np.exp(-0.5 * (x1 / 20.0) ** 2); k2 /= k2.sum()
+    return {
+        "denoising": Denoising(C, D),
+        "inpainting": Inpainting(C, D, missing),
+        "colorization": Colorization(D),
+        "sr_avgpool": SuperResolution(C, D, 4),
+        "cs_wh": WalshHadamardCS(C, D, 4, perm),
+        "cs_block": BlockCS(C, 32, 0.25),     # needs img_dim multiple of 32
+        "general": GeneralA(RNG.randn(N // 2, N).astype(np.float32) / 10),
+        "sr_bicubic": SRConv(bic, C, D, 4),
+        "deblur": Deblurring(gauss, C, D),
+        "deblur2d": Deblurring2D(k1, k2, C, D),
+    }
+
+
+OPS = make_ops()
+
+
+@pytest.mark.parametrize("name", list(OPS))
+def test_pinv_identity(name):
+    """A A+ A = A and A+ A A+ = A+ on random vectors."""
+    op = OPS[name]
+    dim = C * 32 * 32 if name == "cs_block" else N
+    x = jnp.asarray(RNG.randn(2, dim).astype(np.float32))
+    Ax = op.A(x)
+    lhs = op.A(unflatten := op.A_pinv(Ax)) if False else op.A(op.A_pinv(Ax))
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(Ax), atol=1e-3,
+                               rtol=1e-3, err_msg=name)
+    Apy = op.A_pinv(Ax)
+    lhs2 = op.A_pinv(op.A(Apy))
+    np.testing.assert_allclose(np.asarray(lhs2), np.asarray(Apy), atol=1e-3,
+                               rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("name", list(OPS))
+def test_v_orthonormal(name):
+    """Vt(V(x)) = x (V orthonormal) on random vectors."""
+    op = OPS[name]
+    dim = C * 32 * 32 if name == "cs_block" else N
+    x = jnp.asarray(RNG.randn(2, dim).astype(np.float32))
+    back = op.Vt(op.V(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=2e-3,
+                               rtol=1e-3, err_msg=name)
+
+
+def test_projection_satisfies_constraint():
+    """x0 - A+(A x0 - y) reproduces the measurement: A proj = y."""
+    for name in ["inpainting", "sr_avgpool", "colorization", "cs_wh"]:
+        op = OPS[name]
+        x_true = jnp.asarray(RNG.randn(2, N).astype(np.float32))
+        y = op.A(x_true)
+        x0 = jnp.asarray(RNG.randn(2, N).astype(np.float32))
+        proj = x0 - op.A_pinv(op.A(x0) - y)
+        np.testing.assert_allclose(np.asarray(op.A(proj)), np.asarray(y),
+                                   atol=2e-3, rtol=1e-3, err_msg=name)
+
+
+def _torch_ops():
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    from functions import svd_operators as ref
+
+    torch_missing = torch.from_numpy(
+        np.concatenate([m := RNG2.permutation(D * D)[: D * D // 4] * 3,
+                        m + 1, m + 2])).long()
+    return ref, torch_missing
+
+
+RNG2 = np.random.RandomState(7)
+
+
+def _normalize_perm(t_op, j_op):
+    """Deblurring sorts tied (i,j)/(j,i) singular products with torch's
+    UNSTABLE sort; the tie order is arbitrary and our standalone build uses a
+    stable argsort instead. Rewrite the torch op's permutation to ours so the
+    golden comparison tests everything except that arbitrary choice."""
+    import torch
+    perm = torch.from_numpy(np.asarray(j_op._perm)).long()
+    if hasattr(t_op, "_singulars_orig"):
+        # invert torch's existing perm before applying ours to raw products
+        big = torch.zeros_like(t_op._singulars)
+        big[t_op._perm] = t_op._singulars
+        big_orig = torch.zeros_like(t_op._singulars_orig)
+        big_orig[t_op._perm] = t_op._singulars_orig
+        t_op._singulars_orig = big_orig[perm]
+    else:
+        big = torch.zeros_like(t_op._singulars)
+        big[t_op._perm] = t_op._singulars
+    t_op._singulars = big[perm]
+    t_op._perm = perm
+    # also align arbitrary SVD column signs (paired U/V flips leave A
+    # invariant, but the one-sided Lambda_noise application sees them)
+    import numpy as _np
+    for tv, tu, jv, ju in [(getattr(t_op, "V_small", None), getattr(t_op, "U_small", None),
+                            getattr(j_op, "_Vsm", None), getattr(j_op, "_Usm", None))]:
+        if tv is None or jv is None:
+            continue
+        jvn = _np.asarray(jv)
+        for i in range(tv.shape[1]):
+            if _np.dot(tv[:, i].numpy(), jvn[:, i]) < 0:
+                tv[:, i] *= -1
+                tu[:, i] *= -1
+
+
+@requires_reference
+@pytest.mark.parametrize("name", ["inpainting", "colorization", "sr_avgpool",
+                                  "cs_wh", "deblur", "sr_bicubic", "deblur2d"])
+def test_operator_matches_torch(reference_path, name):
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    from functions import svd_operators as ref
+
+    rng = np.random.RandomState(42)
+    if name == "inpainting":
+        mr = rng.permutation(D * D)[: D * D // 4] * 3
+        missing = np.concatenate([mr, mr + 1, mr + 2])
+        t_op = ref.Inpainting(C, D, torch.from_numpy(missing).long(), "cpu")
+        j_op = Inpainting(C, D, missing)
+    elif name == "colorization":
+        t_op = ref.Colorization(D, "cpu")
+        j_op = Colorization(D)
+    elif name == "sr_avgpool":
+        t_op = ref.SuperResolution(C, D, 4, "cpu")
+        j_op = SuperResolution(C, D, 4)
+    elif name == "cs_wh":
+        perm = rng.permutation(D * D)
+        t_op = ref.WalshHadamardCS(C, D, 4, torch.from_numpy(perm).long(), "cpu")
+        j_op = WalshHadamardCS(C, D, 4, perm)
+    elif name == "deblur":
+        x = np.arange(-2, 3, dtype=np.float64)
+        k = np.exp(-0.5 * (x / 10.0) ** 2); k /= k.sum()
+        t_op = ref.Deblurring(torch.from_numpy(k).float(), C, D, "cpu")
+        j_op = Deblurring(k, C, D)
+        _normalize_perm(t_op, j_op)
+    elif name == "sr_bicubic":
+        k = bicubic_kernel_1d(4)
+        t_op = ref.SRConv(torch.from_numpy(k / k.sum()).float(), C, D, "cpu",
+                          stride=4)
+        j_op = SRConv(k / k.sum(), C, D, 4)
+    elif name == "deblur2d":
+        x = np.arange(-4, 5, dtype=np.float64)
+        k1 = np.exp(-0.5 * (x / 1.0) ** 2); k1 /= k1.sum()
+        k2 = np.exp(-0.5 * (x / 20.0) ** 2); k2 /= k2.sum()
+        t_op = ref.Deblurring2D(torch.from_numpy(k1).float(),
+                                torch.from_numpy(k2).float(), C, D, "cpu")
+        j_op = Deblurring2D(k1, k2, C, D)
+        _normalize_perm(t_op, j_op)
+
+    x = rng.randn(2, N).astype(np.float32)
+    tx = torch.from_numpy(x)
+    jx = jnp.asarray(x)
+
+    ref_A = t_op.A(tx).numpy()
+    our_A = np.asarray(j_op.A(jx))
+    np.testing.assert_allclose(our_A, ref_A, atol=2e-3, rtol=1e-3,
+                               err_msg=f"{name}.A")
+
+    y_t = torch.from_numpy(ref_A)
+    ref_Ap = t_op.A_pinv(y_t).numpy()
+    our_Ap = np.asarray(j_op.A_pinv(jnp.asarray(ref_A)))
+    np.testing.assert_allclose(our_Ap, ref_Ap, atol=2e-3, rtol=1e-3,
+                               err_msg=f"{name}.A_pinv")
+
+    # Lambda hooks where implemented
+    if hasattr(t_op, "Lambda") and name in ("inpainting", "colorization",
+                                            "sr_avgpool", "cs_wh", "deblur"):
+        ref_L = t_op.Lambda(tx, 1.0, 0.05, torch.tensor(0.2), 0.85).numpy()
+        our_L = np.asarray(j_op.Lambda(jx, 1.0, 0.05, jnp.asarray(0.2), 0.85))
+        np.testing.assert_allclose(our_L, ref_L, atol=2e-3, rtol=1e-3,
+                                   err_msg=f"{name}.Lambda")
+        eps = rng.randn(2, N).astype(np.float32)
+        ref_Ln = t_op.Lambda_noise(tx, 1.0, 0.05, torch.tensor(0.2), 0.85,
+                                   torch.from_numpy(eps)).numpy()
+        our_Ln = np.asarray(j_op.Lambda_noise(jx, 1.0, 0.05, jnp.asarray(0.2),
+                                              0.85, jnp.asarray(eps)))
+        np.testing.assert_allclose(our_Ln, ref_Ln, atol=2e-3, rtol=1e-3,
+                                   err_msg=f"{name}.Lambda_noise")
+
+
+def test_constraint_function_end_to_end():
+    """SVD projection through the NHWC wrapper keeps A proj = y."""
+    cf = get_constraint_function("sr_averagepooling", "svd", image_size=D,
+                                 fn_scale=4.0)
+    x = jnp.asarray(RNG.randn(2, D, D, C).astype(np.float32))
+    y = cf.transform(x)
+    apy = cf.inv_transform(y)
+    assert apy.shape == (2, D, D, C)
+    proj_fn = cf.make_constrain_fn(y)
+    x0 = jnp.asarray(RNG.randn(2, D, D, C).astype(np.float32))
+    proj = proj_fn(x0)
+    np.testing.assert_allclose(np.asarray(cf.transform(proj)), np.asarray(y),
+                               atol=2e-3, rtol=1e-3)
+    fwd, bwd = cf.loss(proj, y)
+    assert fwd.shape == (2,)
+    assert float(fwd.mean()) < 0.1
+
+
+def test_gd_projection_reduces_loss():
+    cf = get_constraint_function("inpainting_random", "svd_gd", image_size=D,
+                                 lr=0.05, n_gd_iter=20, seed=3)
+    x = jnp.asarray(RNG.randn(2, D, D, C).astype(np.float32))
+    y = cf.transform(x)
+    x0 = jnp.asarray(RNG.randn(2, D, D, C).astype(np.float32))
+    before = float(cf.const_loss(cf.transform(x0), y).mean())
+    proj = cf.make_constrain_fn(y)(x0)
+    after = float(cf.const_loss(cf.transform(proj), y).mean())
+    assert after < before
