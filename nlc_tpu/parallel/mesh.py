@@ -58,6 +58,17 @@ def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = 
     return Mesh(devices, tuple(axes))
 
 
+def make_data_mesh(batch_size: int, devices=None) -> Mesh:
+    """1-D data mesh over the largest device count that divides batch_size —
+    keeps tiny smoke batches runnable on big virtual meshes."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return make_mesh(("data",), devices=devices[:n])
+
+
 def data_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     """Shard axis 0 (batch) over the data mesh axis; replicate the rest."""
     spec = P(axis, *([None] * (ndim - 1)))

@@ -1,0 +1,115 @@
+"""CLI smoke tests on tiny configs (CPU): unconstrained sampling, restoration,
+EDM sampling, sigma training, result evaluation — exercising flag parsing,
+method presets, PNG-skip resume, args.json round trip, checkpoints."""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+TINY_DDIM = {
+    "model": {"type": "simple", "ch": 32, "out_ch": 3, "ch_mult": [1, 2],
+              "num_res_blocks": 1, "attn_resolutions": [8], "dropout": 0.0,
+              "in_channels": 3, "resamp_with_conv": True, "feat_layer": 0},
+    "data": {"dataset": "CELEBA", "image_size": 16, "channels": 3},
+    "diffusion": {"num_diffusion_timesteps": 1000, "beta_schedule": "linear"},
+}
+TINY_EDM = {
+    "model": {"img_resolution": 16, "in_channels": 3, "out_channels": 3,
+              "model_channels": 32, "channel_mult": [1, 2], "num_blocks": 1,
+              "attn_resolutions": [8], "dropout": 0.0},
+    "data": {"dataset": "CIFAR10", "image_size": 16, "channels": 3},
+}
+
+
+@pytest.fixture()
+def store(tmp_path):
+    cfg_dir = tmp_path / "store" / "config"
+    cfg_dir.mkdir(parents=True)
+    with open(cfg_dir / "tiny.yml", "w") as f:
+        yaml.safe_dump(TINY_DDIM, f)
+    with open(cfg_dir / "tinyedm.yml", "w") as f:
+        yaml.safe_dump(TINY_EDM, f)
+    return str(tmp_path / "store")
+
+
+def test_image_sample_unconstrained(store, tmp_path):
+    from nlc_tpu.cli.image_sample import get_args, main
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "base", "--max_T", "3", "--sample_size", "2",
+        "--batch_size", "2", "--bf16", "0", "--eta", "0.0",
+        "--test_dir", str(tmp_path / "out")])
+    main(args, config)
+    images = os.path.join(args.test_dir, "0", "images")
+    assert len(os.listdir(images)) == 2
+    assert os.path.exists(os.path.join(args.test_dir, "args.json"))
+    assert os.path.exists(os.path.join(args.test_dir, "0", "results.json"))
+    # PNG-skip resume: rerunning with same save_folder skips all batches
+    args2, config2 = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "base", "--max_T", "3", "--sample_size", "2",
+        "--batch_size", "2", "--bf16", "0", "--eta", "0.0",
+        "--save_folder", args.test_dir])
+    main(args2, config2)   # must not crash; skips existing PNGs
+
+
+def test_image_sample_constrained(store, tmp_path):
+    from nlc_tpu.cli.image_sample import get_args, main
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "pred_denoise_base", "--max_T", "3", "--sample_size", "2",
+        "--batch_size", "2", "--bf16", "0", "--eta", "0.0",
+        "--constraint", "sr_averagepooling", "--constraint_proj", "svd",
+        "--test_dir", str(tmp_path / "outc")])
+    log = main(args, config)
+    assert {"mse", "psner", "ssim", "const_f_loss"} <= set(log)
+
+
+def test_edm_sample_cli(store, tmp_path):
+    from nlc_tpu.cli.edm_image_sample import get_args, main
+    args, config = get_args([
+        "--config", "cifar10", "--config_path", "tinyedm", "--store_dir", store,
+        "--num_timesteps", "4", "--sample_size", "2", "--batch_size", "2",
+        "--bf16", "0", "--sigma_type", "base,base",
+        "--test_dir", str(tmp_path / "edm")])
+    main(args, config)
+    assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
+
+
+def test_train_cli_and_resume(store, tmp_path):
+    from nlc_tpu.cli.run_image_experiment import get_args, main
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--epoch", "1", "--iter_per_epoch", "2", "--eval_per_epoch", "5",
+        "--save_per_epoch", "1", "--batch_size", "2", "--bf16", "0",
+        "--sigma_block", "2", "--num_timesteps", "3",
+        "--result_dir", str(tmp_path / "train")])
+    main(args, config)
+    run_dir = os.path.join(str(tmp_path / "train"), "celeba", "0")
+    assert os.path.isdir(os.path.join(run_dir, "sigma_ckpt_0"))
+    assert os.path.isdir(os.path.join(run_dir, "ema_sigma_ckpt_0"))
+    # resume path: checkpoint loads
+    from nlc_tpu.io.checkpoints import load_pytree
+    ck = load_pytree(os.path.join(run_dir, "sigma_ckpt_0"))
+    assert "params" in ck
+
+
+def test_result_evaluater(tmp_path):
+    from nlc_tpu.cli.result_evaluater import main
+    from nlc_tpu.utils.image_io import save_image
+    rng = np.random.RandomState(0)
+    base = tmp_path / "res" / "celeba" / "sr" / "0" / "0"
+    (base / "images").mkdir(parents=True)
+    (base / "transform").mkdir(parents=True)
+    for i in range(3):
+        img = rng.rand(16, 16, 3)
+        save_image(img, str(base / "images" / f"00-00000-{i:03}.png"))
+        save_image(np.clip(img + 0.05, 0, 1),
+                   str(base / "transform" / f"orig_00-00000-{i:03}.png"))
+    rows = main(["--results_root", str(tmp_path / "res")])
+    assert len(rows) == 1
+    assert "psnr" in rows[0] and rows[0]["n_matched"] == 3
+    assert os.path.exists(base / "img_results.json")
+    assert os.path.exists(tmp_path / "res" / "summary.csv")

@@ -141,6 +141,7 @@ def _stub_missing_reference_deps():
         tv = types.ModuleType("torchvision")
         tvu = types.ModuleType("torchvision.utils")
         tvu.save_image = lambda *a, **k: None
+        tvu.make_grid = lambda *a, **k: None
         tv.utils = tvu
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tvu
