@@ -19,6 +19,7 @@ celeba_hq-size UNet and ~35% fp32-TF32 utilization on A100 that is
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -45,7 +46,7 @@ def main():
 
     quick = "--quick" in sys.argv
     res = 64 if quick else 256
-    batch = 4 if quick else 8
+    batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "16"))
     steps = 10 if quick else 50
 
     cfg = DDIMUNetConfig(ch=128, out_ch=3, ch_mult=(1, 1, 2, 2, 4, 4),

@@ -82,6 +82,30 @@ def convert_song_unet(sd: Dict[str, np.ndarray], config) -> dict:
     return params
 
 
+def convert_dhariwal_unet(sd: Dict[str, np.ndarray], config) -> dict:
+    """DhariwalUNet state_dict -> flax params (reference edm_networks.py:406-510)."""
+    params = {
+        "map_layer0": _dense(sd, "map_layer0"),
+        "map_layer1": _dense(sd, "map_layer1"),
+        "out_norm": _norm(sd, "out_norm"),
+        "out_conv": _edm_conv(sd, "out_conv"),
+    }
+    if "map_label.weight" in sd:
+        params["map_label"] = _dense(sd, "map_label")
+    if "map_augment.weight" in sd:
+        params["map_augment"] = _dense(sd, "map_augment")
+    prefixes = sorted({k.split(".")[0] + "." + k.split(".")[1]
+                       for k in sd if k.startswith(("enc.", "dec."))})
+    for pref in prefixes:
+        side, name = pref.split(".")
+        flax_name = f"{side}_{name}"
+        if f"{pref}.norm0.weight" in sd:
+            params[flax_name] = _unet_block(sd, pref)
+        elif f"{pref}.weight" in sd:
+            params[flax_name] = _edm_conv(sd, pref)
+    return params
+
+
 def convert_edm_sigma_head(sd: Dict[str, np.ndarray], dim: int, channels: int,
                            n_blocks: int) -> Tuple[dict, dict]:
     """EDM SigmaModel (edm_networks.py:979-1022) -> EDMSigmaHead variables."""

@@ -130,16 +130,13 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               scale: Optional[float] = None) -> jnp.ndarray:
     """Multi-head attention core over (B, H, N, D) with fp32 softmax.
 
-    Small spatial sequences (N <= 4096 at every UNet attention resolution) fit
-    VMEM comfortably; XLA fuses this well. A Pallas flash kernel is used for
-    the larger resolutions via ops.attention.
+    On TPU this dispatches to the Pallas fused kernel (ops.attention): the
+    (N, N) softmax weights live only in VMEM instead of round-tripping HBM
+    between the two matmuls. Elsewhere (CPU tests) it uses the XLA einsum
+    path — both produce identical results (covered by tests).
     """
-    d = q.shape[-1]
-    scale = d ** -0.5 if scale is None else scale
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+    from ..ops.attention import fused_attention
+    return fused_attention(q, k, v, scale)
 
 
 class SpatialSelfAttention(nn.Module):

@@ -443,6 +443,146 @@ class SongUNet(nn.Module):
         return x
 
 
+@dataclass(frozen=True)
+class DhariwalUNetConfig:
+    """EDM's ADM reimplementation (reference edm_networks.py:406-510)."""
+    img_resolution: int = 64
+    in_channels: int = 3
+    out_channels: int = 3
+    label_dim: int = 0
+    augment_dim: int = 0
+    model_channels: int = 192
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 4)
+    channel_mult_emb: int = 4
+    num_blocks: int = 3
+    attn_resolutions: Tuple[int, ...] = (32, 16, 8)
+    dropout: float = 0.10
+    label_dropout: float = 0.0
+
+    @property
+    def feat_shape(self) -> Tuple[int, int, int]:
+        d = int(self.img_resolution * 0.5 ** (len(self.channel_mult) - 1))
+        c = int(self.model_channels * self.channel_mult[-1])
+        return (d, d, c)
+
+
+class DhariwalUNet(nn.Module):
+    """ADM-architecture UNet with EDM block internals: adaptive-scale FiLM,
+    64-channels-per-head attention, every encoder block (incl. down) feeding a
+    skip, decoder cat-on-channel-mismatch (reference :406-510).
+
+    encode() (encoder-bottom feature) is an extension for sigma-head parity —
+    the reference DhariwalUNet has no encode, only its SongUNet does.
+    """
+    config: DhariwalUNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        emb_ch = cfg.model_channels * cfg.channel_mult_emb
+        bk = dict(channels_per_head=64, dropout=cfg.dropout, adaptive_scale=True,
+                  eps=1e-5, skip_scale=1.0, resample_proj=False, dtype=self.dtype)
+
+        if cfg.augment_dim:
+            self.map_augment = nn.Dense(cfg.model_channels, use_bias=False,
+                                        dtype=self.dtype, name="map_augment")
+        self.map_layer0 = nn.Dense(emb_ch, dtype=self.dtype, name="map_layer0")
+        self.map_layer1 = nn.Dense(emb_ch, dtype=self.dtype, name="map_layer1")
+        if cfg.label_dim:
+            self.map_label = nn.Dense(emb_ch, use_bias=False, dtype=self.dtype,
+                                      name="map_label")
+
+        enc = []
+        cout = cfg.in_channels
+        skips = []
+        for level, mult in enumerate(cfg.channel_mult):
+            res = cfg.img_resolution >> level
+            if level == 0:
+                cout = cfg.model_channels * mult
+                enc.append((f"enc_{res}x{res}_conv", "conv",
+                            EDMConv(cout, 3, dtype=self.dtype,
+                                    name=f"enc_{res}x{res}_conv")))
+            else:
+                enc.append((f"enc_{res}x{res}_down", "block",
+                            EDMUNetBlock(out_channels=cout, down=True, **bk,
+                                         name=f"enc_{res}x{res}_down")))
+            skips.append(cout)
+            for idx in range(cfg.num_blocks):
+                cout = cfg.model_channels * mult
+                enc.append((f"enc_{res}x{res}_block{idx}", "block",
+                            EDMUNetBlock(out_channels=cout,
+                                         attention=(res in cfg.attn_resolutions),
+                                         **bk, name=f"enc_{res}x{res}_block{idx}")))
+                skips.append(cout)
+        self.enc_layers = enc
+
+        dec = []
+        sk = list(skips)
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            res = cfg.img_resolution >> level
+            if level == len(cfg.channel_mult) - 1:
+                dec.append((f"dec_{res}x{res}_in0", "block", False,
+                            EDMUNetBlock(out_channels=cout, attention=True, **bk,
+                                         name=f"dec_{res}x{res}_in0")))
+                dec.append((f"dec_{res}x{res}_in1", "block", False,
+                            EDMUNetBlock(out_channels=cout, **bk,
+                                         name=f"dec_{res}x{res}_in1")))
+            else:
+                dec.append((f"dec_{res}x{res}_up", "block", False,
+                            EDMUNetBlock(out_channels=cout, up=True, **bk,
+                                         name=f"dec_{res}x{res}_up")))
+            for idx in range(cfg.num_blocks + 1):
+                cout = cfg.model_channels * mult
+                dec.append((f"dec_{res}x{res}_block{idx}", "block", True,
+                            EDMUNetBlock(out_channels=cout,
+                                         attention=(res in cfg.attn_resolutions),
+                                         **bk, name=f"dec_{res}x{res}_block{idx}")))
+                sk.pop()
+        self.dec_layers = dec
+        self.out_norm = EDMGroupNorm(eps=1e-5, name="out_norm")
+        self.out_conv = EDMConv(cfg.out_channels, 3, dtype=self.dtype,
+                                name="out_conv")
+
+    def _mapping(self, noise_labels, class_labels, augment_labels):
+        cfg = self.config
+        emb = positional_embedding(noise_labels, cfg.model_channels,
+                                   endpoint=False)
+        # Dhariwal keeps the raw [cos, sin] order (no SongUNet flip)
+        half = cfg.model_channels // 2
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+        if cfg.augment_dim and augment_labels is not None:
+            emb = emb + self.map_augment(augment_labels)
+        emb = self.map_layer1(swish(self.map_layer0(emb.astype(self.dtype))))
+        if cfg.label_dim:
+            assert class_labels is not None
+            emb = emb + self.map_label(class_labels)
+        return swish(emb)
+
+    def _encode_stage(self, x, emb, deterministic):
+        x = x.astype(self.dtype)
+        skips = []
+        for name, kind, layer in self.enc_layers:
+            x = layer(x) if kind == "conv" else layer(x, emb, deterministic)
+            skips.append(x)
+        return x, skips
+
+    def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
+                 deterministic: bool = True):
+        emb = self._mapping(noise_labels, class_labels, augment_labels)
+        x, skips = self._encode_stage(x, emb, deterministic)
+        for name, kind, needs_cat, layer in self.dec_layers:
+            if needs_cat:
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = layer(x, emb, deterministic)
+        return self.out_conv(swish(self.out_norm(x))).astype(jnp.float32)
+
+    def encode(self, x, noise_labels, class_labels=None, augment_labels=None,
+               deterministic: bool = True):
+        emb = self._mapping(noise_labels, class_labels, augment_labels)
+        x, _ = self._encode_stage(x, emb, deterministic)
+        return x
+
+
 # --------------------------------------------------------------------------
 # Preconditioners (pure functions; reference :511-730)
 # --------------------------------------------------------------------------

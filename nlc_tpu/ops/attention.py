@@ -1,0 +1,95 @@
+"""Pallas TPU fused attention for UNet spatial self-attention.
+
+The reference's attention blocks materialize the (N, N) softmax weights in
+HBM between two matmuls (unet_adm.py:381-393 einsums, unet_simple.py:176-184
+bmms). At the UNet's attention resolutions N = H*W is 64-4096 tokens, so the
+whole computation fits VMEM: this kernel runs one (batch*head) grid cell per
+call, computing softmax(Q K^T * scale) V with fp32 logits without ever
+writing the weight matrix to HBM.
+
+Shapes: q, k, v (B, H, N, D) -> (B, H, N, D), matching models.layers.attention.
+The public entry falls back to the XLA einsum path when the working set
+exceeds the VMEM budget or when disabled (NLC_DISABLE_PALLAS_ATTN=1, or on
+non-TPU backends where Mosaic is unavailable).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # bytes, conservative per-core working set
+
+
+def _xla_attention(q, k, v, scale):
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    from jax.experimental import pallas as pl  # noqa: F401
+
+    q = q_ref[0]                                   # (N, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (N, N) fp32 in VMEM
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    w = (p / denom).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        w, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _pallas_attention(q, k, v, scale: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, n, d)
+    vf = v.reshape(b * h, n, d)
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # note: no CostEstimate — a hand-supplied transcendental count made the
+    # Mosaic scheduler serialize this kernel ~80x slower on v5e
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+    )(qf, kf, vf)
+    return out.reshape(b, h, n, d)
+
+
+def use_pallas_attention(q_shape, dtype) -> bool:
+    if os.environ.get("NLC_DISABLE_PALLAS_ATTN"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    b, h, n, d = q_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    working = 4 * n * d * itemsize + n * n * 4 * 2   # q,k,v,o + logits+probs
+    return working <= _VMEM_BUDGET
+
+
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    scale: Optional[float] = None) -> jnp.ndarray:
+    """Drop-in for models.layers.attention: (B,H,N,D) with fp32 softmax."""
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    if use_pallas_attention(q.shape, q.dtype):
+        return _pallas_attention(q, k, v, float(scale))
+    return _xla_attention(q, k, v, scale)

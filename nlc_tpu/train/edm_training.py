@@ -1,0 +1,241 @@
+"""Full EDM diffusion training: VP/VE/EDM losses + tick-based training loop.
+
+Parity targets:
+  training/loss.py:20-80     VPLoss / VELoss / EDMLoss
+  training/training_loop.py  gradient-accumulation rounds (:59-64,123-132),
+                             lr ramp-up + grad nan_to_num (:134-140), EMA with
+                             ramp-up half-life (:142-148), tick status lines
+                             (:156-169), snapshots + training-state dumps with
+                             resume_kimg (:92-109,177-193), stats.jsonl (:195-201)
+
+TPU-first: loss + accumulation + optimizer + EMA fuse into ONE jitted step
+(accumulation is a lax.scan over microbatches); batch shards over the data
+mesh; snapshots are orbax pytrees loadable back via io.checkpoints (and EDM
+pickles can seed training via io.edm_pickle + converters).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..io.checkpoints import save_pytree
+from ..parallel.mesh import is_primary
+from ..utils import logger
+from .augment import AugmentConfig, augment_pipe
+
+
+# --------------------------------------------------------------------------
+# losses (pure: (precond_apply, images, labels, key, augment_cfg) -> per-elem)
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class VPLossConfig:
+    beta_d: float = 19.9
+    beta_min: float = 0.1
+    epsilon_t: float = 1e-5
+
+    def sigma(self, t):
+        return jnp.sqrt(jnp.exp(0.5 * self.beta_d * t ** 2 + self.beta_min * t) - 1)
+
+    def sample_sigma_weight(self, key, n):
+        u = jax.random.uniform(key, (n, 1, 1, 1))
+        sigma = self.sigma(1 + u * (self.epsilon_t - 1))
+        return sigma, 1.0 / sigma ** 2
+
+
+@dataclass(frozen=True)
+class VELossConfig:
+    sigma_min: float = 0.02
+    sigma_max: float = 100.0
+
+    def sample_sigma_weight(self, key, n):
+        u = jax.random.uniform(key, (n, 1, 1, 1))
+        sigma = self.sigma_min * (self.sigma_max / self.sigma_min) ** u
+        return sigma, 1.0 / sigma ** 2
+
+
+@dataclass(frozen=True)
+class EDMLossConfig:
+    P_mean: float = -1.2
+    P_std: float = 1.2
+    sigma_data: float = 0.5
+
+    def sample_sigma_weight(self, key, n):
+        rnd = jax.random.normal(key, (n, 1, 1, 1))
+        sigma = jnp.exp(rnd * self.P_std + self.P_mean)
+        weight = (sigma ** 2 + self.sigma_data ** 2) / (sigma * self.sigma_data) ** 2
+        return sigma, weight
+
+
+LOSSES = {"vp": VPLossConfig, "ve": VELossConfig, "edm": EDMLossConfig}
+
+
+def diffusion_loss(loss_cfg, precond_apply: Callable, params, images, labels,
+                   key: jax.Array, augment_cfg: Optional[AugmentConfig] = None,
+                   dropout_key: Optional[jax.Array] = None):
+    """Per-element weighted denoising loss (reference loss.py pattern)."""
+    k_sig, k_n, k_aug = jax.random.split(key, 3)
+    aug_labels = None
+    y = images
+    if augment_cfg is not None:
+        y, aug_labels = augment_pipe(images, k_aug, augment_cfg)
+    sigma, weight = loss_cfg.sample_sigma_weight(k_sig, images.shape[0])
+    n = jax.random.normal(k_n, y.shape) * sigma
+    D_yn = precond_apply(params, y + n, sigma, labels, aug_labels, dropout_key)
+    return weight * (D_yn - y) ** 2
+
+
+# --------------------------------------------------------------------------
+# train state + step
+# --------------------------------------------------------------------------
+
+@struct.dataclass
+class EDMTrainState:
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    cur_nimg: jnp.ndarray
+
+
+@dataclass(frozen=True)
+class EDMLoopConfig:
+    total_kimg: int = 200000
+    batch_size: int = 512
+    num_accumulation_rounds: int = 1
+    lr: float = 1e-3
+    lr_rampup_kimg: int = 10000
+    ema_halflife_kimg: float = 500.0
+    ema_rampup_ratio: Optional[float] = 0.05
+    loss_scaling: float = 1.0
+    kimg_per_tick: int = 50
+    snapshot_ticks: int = 50
+    state_dump_ticks: int = 500
+    run_dir: str = "./edm-run"
+    seed: int = 0
+
+
+def create_edm_train_state(params, cfg: EDMLoopConfig):
+    tx = optax.adam(learning_rate=1.0, b1=0.9, b2=0.999, eps=1e-8)
+    return EDMTrainState(
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=tx.init(params),
+        cur_nimg=jnp.asarray(0, jnp.int64 if jax.config.jax_enable_x64
+                             else jnp.int32),
+    ), tx
+
+
+def make_edm_train_step(loss_cfg, precond_apply: Callable,
+                        tx: optax.GradientTransformation, cfg: EDMLoopConfig,
+                        augment_cfg: Optional[AugmentConfig] = None):
+    rounds = cfg.num_accumulation_rounds
+
+    def train_step(state: EDMTrainState, images, labels, key: jax.Array):
+        """images: (rounds, micro_batch, H, W, C) in [-1, 1]."""
+        key = jax.random.fold_in(key, state.cur_nimg)
+
+        def loss_of(params):
+            def round_body(acc, xs):
+                imgs, labs, k = xs
+                kd, kl = jax.random.split(k)
+                li = diffusion_loss(loss_cfg, precond_apply, params, imgs, labs,
+                                    kl, augment_cfg, dropout_key=kd)
+                return acc + li.sum(), li.mean()
+
+            keys = jax.random.split(key, rounds)
+            total, per_round = jax.lax.scan(
+                round_body, jnp.asarray(0.0), (images, labels, keys))
+            batch_total = images.shape[0] * images.shape[1]
+            return total * cfg.loss_scaling / batch_total, per_round.mean()
+
+        (loss, mean_loss), grads = jax.value_and_grad(loss_of, has_aux=True)(
+            state.params)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.nan_to_num(g, nan=0.0, posinf=1e5, neginf=-1e5), grads)
+        # lr ramp-up (reference :134-136) folded into the update scale
+        lr = cfg.lr * jnp.minimum(
+            state.cur_nimg / max(cfg.lr_rampup_kimg * 1000, 1e-8), 1.0)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+
+        # EMA with ramp-up half-life (reference :142-148)
+        halflife_nimg = cfg.ema_halflife_kimg * 1000
+        if cfg.ema_rampup_ratio is not None:
+            halflife_nimg = jnp.minimum(halflife_nimg,
+                                        state.cur_nimg * cfg.ema_rampup_ratio)
+        beta = 0.5 ** (cfg.batch_size / jnp.maximum(halflife_nimg, 1e-8))
+        ema = jax.tree_util.tree_map(
+            lambda e, p: p + (e - p) * beta, state.ema_params, params)
+
+        new_state = EDMTrainState(params=params, ema_params=ema,
+                                  opt_state=opt_state,
+                                  cur_nimg=state.cur_nimg + cfg.batch_size)
+        return new_state, {"loss": mean_loss}
+
+    return train_step
+
+
+def edm_training_loop(state: EDMTrainState, train_step: Callable,
+                      data_iter: Iterator, cfg: EDMLoopConfig,
+                      key: Optional[jax.Array] = None) -> EDMTrainState:
+    """Tick-based loop with snapshots, state dumps, and stats.jsonl."""
+    os.makedirs(cfg.run_dir, exist_ok=True)
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    start = time.time()
+    cur_tick = 0
+    tick_start_nimg = int(state.cur_nimg)
+    tick_start = start
+    stats_path = os.path.join(cfg.run_dir, "stats.jsonl")
+    while True:
+        images, labels = next(data_iter)
+        state, metrics = jitted(state, images, labels, key)
+        cur_nimg = int(state.cur_nimg)
+        done = cur_nimg >= cfg.total_kimg * 1000
+        if not done and cur_tick != 0 and \
+                cur_nimg < tick_start_nimg + cfg.kimg_per_tick * 1000:
+            continue
+
+        now = time.time()
+        loss = float(metrics["loss"])
+        fields = {
+            "Progress/tick": cur_tick, "Progress/kimg": cur_nimg / 1e3,
+            "Timing/total_sec": now - start,
+            "Timing/sec_per_tick": now - tick_start,
+            "Timing/sec_per_kimg": (now - tick_start)
+            / max(cur_nimg - tick_start_nimg, 1) * 1e3,
+            "Loss/loss": loss,
+        }
+        logger.log(" ".join(f"{k.split('/')[-1]} {v:.4g}" if isinstance(v, float)
+                            else f"{k.split('/')[-1]} {v}"
+                            for k, v in fields.items()))
+        if is_primary():
+            with open(stats_path, "a") as f:
+                f.write(json.dumps({**fields, "timestamp": now}) + "\n")
+
+        if cur_tick % cfg.snapshot_ticks == 0 or done:
+            save_pytree({"ema": state.ema_params},
+                        os.path.join(cfg.run_dir,
+                                     f"network-snapshot-{cur_nimg//1000:06d}"))
+        if cur_tick % cfg.state_dump_ticks == 0 or done:
+            save_pytree({"params": state.params, "opt_state": state.opt_state,
+                         "cur_nimg": np.asarray(cur_nimg)},
+                        os.path.join(cfg.run_dir,
+                                     f"training-state-{cur_nimg//1000:06d}"))
+        if done:
+            break
+        cur_tick += 1
+        tick_start_nimg = cur_nimg
+        tick_start = now
+    return state
