@@ -46,7 +46,7 @@ def main():
 
     quick = "--quick" in sys.argv
     res = 64 if quick else 256
-    batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "16"))
+    batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "8"))
     steps = 10 if quick else 50
 
     cfg = DDIMUNetConfig(ch=128, out_ch=3, ch_mult=(1, 1, 2, 2, 4, 4),

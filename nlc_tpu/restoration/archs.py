@@ -1,0 +1,221 @@
+"""Restoration CNN architectures (BasicSR/NAFNet parity).
+
+Parity targets:
+  NAFNet / NAFBlock (SimpleGate + simplified channel attention)
+      reference basicsr/models/archs/NAFNet_arch.py:29-165
+  LayerNorm2d   arch_util.py (channel layernorm per pixel)
+  NAFNetLocal / TLC test-time local conversion
+      reference local_arch.py (AvgPool2d local-window replacement) — here a
+      `tlc_window` flag swaps the SCA global pool for a local-window mean at
+      inference, the same train-free conversion.
+  NAFSSR (stereo SR with cross-attention fusion)
+      reference NAFSSR_arch.py — NAFSSR class below.
+  Registry-based dynamic instantiation (define_network by `type` string)
+      reference basicsr/models/archs/__init__.py:50-53.
+
+NHWC; PixelShuffle upsampling = depth-to-space.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ARCH_REGISTRY = {}
+
+
+def register_arch(cls):
+    ARCH_REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def define_network(opt: dict):
+    """Instantiate an arch from an options dict with a `type` key
+    (reference define_network semantics)."""
+    opt = dict(opt)
+    name = opt.pop("type")
+    if name not in ARCH_REGISTRY:
+        raise KeyError(f"unknown arch {name!r}; have {sorted(ARCH_REGISTRY)}")
+    return ARCH_REGISTRY[name](**opt)
+
+
+class LayerNorm2d(nn.Module):
+    """Per-pixel channel layer norm (BasicSR LayerNorm2d)."""
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + self.eps)
+        w = self.param("scale", nn.initializers.ones, (c,))
+        b = self.param("bias", nn.initializers.zeros, (c,))
+        return xn * w + b
+
+
+def simple_gate(x):
+    a, b = jnp.split(x, 2, axis=-1)
+    return a * b
+
+
+def _local_window_mean(x, window: Tuple[int, int]):
+    """TLC: replace the global average with a train-size local-window mean
+    (reference local_arch.AvgPool2d semantics via box filtering)."""
+    kh = min(window[0], x.shape[1])
+    kw = min(window[1], x.shape[2])
+    c = x.shape[-1]
+    w = jnp.ones((kh, kw, 1, c), x.dtype) / (kh * kw)
+    pad_h = (kh - 1) // 2, kh - 1 - (kh - 1) // 2
+    pad_w = (kw - 1) // 2, kw - 1 - (kw - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [pad_h, pad_w], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+class NAFBlock(nn.Module):
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    drop_out_rate: float = 0.0
+    tlc_window: Optional[Tuple[int, int]] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        c = x.shape[-1]
+        dw = c * self.dw_expand
+
+        h = LayerNorm2d(name="norm1")(x)
+        h = nn.Conv(dw, (1, 1), name="conv1")(h)
+        h = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw, name="conv2")(h)
+        h = simple_gate(h)
+        if self.tlc_window is None:
+            pooled = h.mean(axis=(1, 2), keepdims=True)
+        else:
+            pooled = _local_window_mean(h, self.tlc_window)
+        att = nn.Conv(dw // 2, (1, 1), name="sca_conv")(pooled)
+        h = h * att
+        h = nn.Conv(c, (1, 1), name="conv3")(h)
+        h = nn.Dropout(self.drop_out_rate, deterministic=deterministic)(h)
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+        y = x + h * beta
+
+        f = LayerNorm2d(name="norm2")(y)
+        f = nn.Conv(self.ffn_expand * c, (1, 1), name="conv4")(f)
+        f = simple_gate(f)
+        f = nn.Conv(c, (1, 1), name="conv5")(f)
+        f = nn.Dropout(self.drop_out_rate, deterministic=deterministic)(f)
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+        return y + f * gamma
+
+
+def depth_to_space(x, factor: int = 2):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h, w, factor, factor, c // factor ** 2)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * factor, w * factor, c // factor ** 2)
+
+
+@register_arch
+class NAFNet(nn.Module):
+    img_channel: int = 3
+    width: int = 16
+    middle_blk_num: int = 1
+    enc_blk_nums: Sequence[int] = ()
+    dec_blk_nums: Sequence[int] = ()
+    drop_out_rate: float = 0.0
+    tlc_window: Optional[Tuple[int, int]] = None   # set at test time for TLC
+
+    @nn.compact
+    def __call__(self, inp, deterministic: bool = True):
+        b, h0, w0, _ = inp.shape
+        pad = 2 ** len(self.enc_blk_nums)
+        ph = (pad - h0 % pad) % pad
+        pw = (pad - w0 % pad) % pad
+        x_in = jnp.pad(inp, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+        x = nn.Conv(self.width, (3, 3), padding=1, name="intro")(x_in)
+        chan = self.width
+        skips = []
+        for i, num in enumerate(self.enc_blk_nums):
+            for j in range(num):
+                x = NAFBlock(drop_out_rate=self.drop_out_rate,
+                             tlc_window=self.tlc_window,
+                             name=f"enc_{i}_{j}")(x, deterministic)
+            skips.append(x)
+            x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), name=f"down_{i}")(x)
+            chan *= 2
+        for j in range(self.middle_blk_num):
+            x = NAFBlock(drop_out_rate=self.drop_out_rate,
+                         tlc_window=self.tlc_window,
+                         name=f"middle_{j}")(x, deterministic)
+        for i, num in enumerate(self.dec_blk_nums):
+            x = nn.Conv(chan * 2, (1, 1), use_bias=False, name=f"up_{i}")(x)
+            x = depth_to_space(x, 2)
+            chan //= 2
+            x = x + skips[-(i + 1)]
+            for j in range(num):
+                x = NAFBlock(drop_out_rate=self.drop_out_rate,
+                             tlc_window=self.tlc_window,
+                             name=f"dec_{i}_{j}")(x, deterministic)
+        x = nn.Conv(self.img_channel, (3, 3), padding=1, name="ending")(x)
+        x = x + x_in
+        return x[:, :h0, :w0, :]
+
+
+@register_arch
+class NAFSSR(nn.Module):
+    """Stereo super-resolution: shared NAFNet trunk + stereo cross-attention
+    fusion (reference NAFSSR_arch.py capability). Input (B, H, W, 2*C) packs
+    the left/right views channel-wise; output upscaled by `up_scale`."""
+    up_scale: int = 4
+    width: int = 48
+    num_blks: int = 16
+    img_channel: int = 3
+    fusion_from: int = -1
+    fusion_to: int = 1000
+    drop_out_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, inp, deterministic: bool = True):
+        c = self.img_channel
+        left, right = inp[..., :c], inp[..., c:]
+        # shared trunk: the same submodules process both views
+        intro = nn.Conv(self.width, (3, 3), padding=1, name="intro")
+        xl, xr = intro(left), intro(right)
+        for i in range(self.num_blks):
+            blk = NAFBlock(drop_out_rate=self.drop_out_rate, name=f"blk_{i}")
+            xl = blk(xl, deterministic)
+            xr = blk(xr, deterministic)
+            if self.fusion_from <= i <= self.fusion_to:
+                xl, xr = self._scam(xl, xr, i)
+        up = nn.Conv(c * self.up_scale ** 2, (3, 3), padding=1, name="up_conv")
+        ol = depth_to_space(up(xl), self.up_scale)
+        orr = depth_to_space(up(xr), self.up_scale)
+        base_l = jax.image.resize(left, (left.shape[0],
+                                         left.shape[1] * self.up_scale,
+                                         left.shape[2] * self.up_scale, c),
+                                  "bilinear")
+        base_r = jax.image.resize(right, base_l.shape, "bilinear")
+        return jnp.concatenate([ol + base_l, orr + base_r], axis=-1)
+
+    def _scam(self, xl, xr, i):
+        """Stereo cross-attention module: attend along the epipolar (width)
+        axis between views."""
+        cdim = xl.shape[-1]
+        ql = LayerNorm2d(name=f"scam_{i}_nl")(xl) @ \
+            self.param(f"scam_{i}_wl", nn.initializers.lecun_normal(), (cdim, cdim))
+        qr = LayerNorm2d(name=f"scam_{i}_nr")(xr) @ \
+            self.param(f"scam_{i}_wr", nn.initializers.lecun_normal(), (cdim, cdim))
+        vl = xl @ self.param(f"scam_{i}_vl", nn.initializers.lecun_normal(),
+                             (cdim, cdim))
+        vr = xr @ self.param(f"scam_{i}_vr", nn.initializers.lecun_normal(),
+                             (cdim, cdim))
+        att = jnp.einsum("bhwc,bhvc->bhwv", ql, qr) * (cdim ** -0.5)
+        fl = jnp.einsum("bhwv,bhvc->bhwc", jax.nn.softmax(att, axis=-1), vr)
+        fr = jnp.einsum("bhwv,bhwc->bhvc", jax.nn.softmax(att, axis=-2), vl)
+        bl = self.param(f"scam_{i}_bl", nn.initializers.zeros, (1, 1, 1, cdim))
+        br = self.param(f"scam_{i}_br", nn.initializers.zeros, (1, 1, 1, cdim))
+        return xl + fl * bl, xr + fr * br

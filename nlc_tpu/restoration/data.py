@@ -1,0 +1,112 @@
+"""Paired restoration datasets + augmentations.
+
+Parity with reference basicsr/data: PairedImageDataset (lq/gt folder pairs),
+paired random crop, flip/rotation augmentation (transforms.py), and the
+dataset-enlarging sampler semantics (EnlargedSampler: iterate an enlarged
+virtual epoch). LMDB backends are gated (lmdb is not in this image) — folder
+datasets cover the capability; the file_client abstraction accepts an lmdb
+path and raises a clear error.
+"""
+from __future__ import annotations
+
+import os
+import random
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def paired_random_crop(gt: np.ndarray, lq: np.ndarray, gt_patch: int, scale: int,
+                       rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
+    lq_patch = gt_patch // scale
+    h, w = lq.shape[:2]
+    top = rng.randrange(max(h - lq_patch, 0) + 1)
+    left = rng.randrange(max(w - lq_patch, 0) + 1)
+    lq_c = lq[top:top + lq_patch, left:left + lq_patch]
+    gt_c = gt[top * scale:top * scale + gt_patch,
+              left * scale:left * scale + gt_patch]
+    return gt_c, lq_c
+
+
+def paired_augment(gt: np.ndarray, lq: np.ndarray, hflip: bool, rot: bool,
+                   rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
+    """flip + transpose augmentation (reference transforms.augment)."""
+    if hflip and rng.random() < 0.5:
+        gt, lq = gt[:, ::-1], lq[:, ::-1]
+    if rot and rng.random() < 0.5:
+        gt, lq = gt[::-1], lq[::-1]
+    if rot and rng.random() < 0.5:
+        gt, lq = gt.transpose(1, 0, 2), lq.transpose(1, 0, 2)
+    return gt, lq
+
+
+class PairedImageDataset:
+    """lq/gt folder pairs matched by filename."""
+
+    def __init__(self, dataroot_gt: str, dataroot_lq: str, gt_size: int = 256,
+                 scale: int = 1, phase: str = "train", use_flip: bool = True,
+                 use_rot: bool = True, seed: int = 0):
+        if dataroot_gt.endswith(".lmdb") or dataroot_lq.endswith(".lmdb"):
+            raise NotImplementedError(
+                "LMDB backends need the lmdb package (not in this image); "
+                "extract to folders instead")
+        self.gt_files = sorted(os.listdir(dataroot_gt))
+        self.root_gt = dataroot_gt
+        self.root_lq = dataroot_lq
+        self.gt_size = gt_size
+        self.scale = scale
+        self.phase = phase
+        self.use_flip = use_flip
+        self.use_rot = use_rot
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.gt_files)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        name = self.gt_files[i]
+        gt = np.asarray(Image.open(os.path.join(self.root_gt, name))
+                        .convert("RGB"), np.float32) / 255.0
+        lq_path = os.path.join(self.root_lq, name)
+        lq = np.asarray(Image.open(lq_path).convert("RGB"), np.float32) / 255.0
+        if self.phase == "train":
+            gt, lq = paired_random_crop(gt, lq, self.gt_size, self.scale, self.rng)
+            gt, lq = paired_augment(gt, lq, self.use_flip, self.use_rot, self.rng)
+        return lq.copy(), gt.copy()
+
+
+class SyntheticPairedDataset:
+    """Smoke-mode pairs: gt random smooth image, lq = noisy version."""
+
+    def __init__(self, size: int = 32, n: int = 32, noise: float = 0.1):
+        self.size = size
+        self.n = n
+        self.noise = noise
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        rng = np.random.RandomState(i)
+        base = rng.rand(4, 4, 3).astype(np.float32)
+        gt = np.kron(base, np.ones((self.size // 4, self.size // 4, 1), np.float32))
+        lq = np.clip(gt + rng.randn(*gt.shape).astype(np.float32) * self.noise, 0, 1)
+        return lq, gt
+
+
+def paired_loader(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
+                  enlarge_ratio: int = 1, infinite: bool = False
+                  ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """EnlargedSampler semantics: the virtual epoch is enlarge_ratio x the
+    dataset (reference data_sampler.py)."""
+    rng = np.random.RandomState(seed)
+    while True:
+        idx = np.tile(np.arange(len(dataset)), enlarge_ratio)
+        if shuffle:
+            rng.shuffle(idx)
+        for i in range(0, len(idx) - batch_size + 1, batch_size):
+            lqs, gts = zip(*(dataset[int(j)] for j in idx[i:i + batch_size]))
+            yield np.stack(lqs), np.stack(gts)
+        if not infinite:
+            return

@@ -1,0 +1,157 @@
+"""Restoration model wrapper: training step, EMA, tiled ('grids') inference,
+validation with metrics — the counterpart of BasicSR's
+ImageRestorationModel/BaseModel (reference basicsr/models/base_model.py:63-331,
+image_restoration_model.py:109-381).
+
+The torch version wires DDP + per-rank metric reduction; here the train step
+jits over the data mesh and metric reduction is a host-side mean (single
+process) or psum (multi-host) — same observable behavior.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..eval import calculate_psnr, calculate_ssim
+from ..io.checkpoints import save_pytree, load_pytree
+from ..utils import logger
+from .archs import define_network
+from .losses import build_loss
+from .lr_schedulers import build_scheduler
+
+
+@struct.dataclass
+class RestorationTrainState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+
+class RestorationModel:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.net = define_network(opt["network_g"])
+        train_opt = opt.get("train", {})
+        self.mixup = bool(train_opt.get("mixup", False))
+        self.loss_fn = build_loss(train_opt.get("pixel_opt",
+                                                {"type": "PSNRLoss"}))
+        self.base_lr = train_opt.get("optim_g", {}).get("lr", 1e-3)
+        sched_opt = train_opt.get("scheduler")
+        self.lr_sched = build_scheduler(sched_opt) if sched_opt else (lambda s: 1.0)
+        self.ema_decay = float(train_opt.get("ema_decay", 0.0))
+        betas = train_opt.get("optim_g", {}).get("betas", (0.9, 0.999))
+        wd = train_opt.get("optim_g", {}).get("weight_decay", 0.0)
+        self.tx = optax.adamw(learning_rate=1.0, b1=betas[0], b2=betas[1],
+                              weight_decay=wd)
+        self._jit_step = None
+        self._jit_test = None
+
+    # ---- init / state ----
+    def init_state(self, sample_lq: jnp.ndarray, seed: int = 0
+                   ) -> RestorationTrainState:
+        params = self.net.init(jax.random.PRNGKey(seed), sample_lq)
+        return RestorationTrainState(
+            params=params, opt_state=self.tx.init(params["params"]),
+            ema_params=jax.tree_util.tree_map(jnp.copy, params), step=jnp.asarray(0))
+
+    # ---- training ----
+    def train_step(self, state: RestorationTrainState, lq, gt, key):
+        if self._jit_step is None:
+            def step_fn(state, lq, gt, key, lr_mult):
+                if self.mixup:
+                    lam = jax.random.beta(key, 1.2, 1.2)
+                    perm = jax.random.permutation(jax.random.fold_in(key, 1),
+                                                  lq.shape[0])
+                    lq = lam * lq + (1 - lam) * lq[perm]
+                    gt = lam * gt + (1 - lam) * gt[perm]
+
+                def loss_of(p):
+                    pred = self.net.apply({"params": p}, lq, deterministic=False)
+                    return self.loss_fn(pred, gt)
+
+                loss, grads = jax.value_and_grad(loss_of)(state.params["params"])
+                updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                    state.params["params"])
+                updates = jax.tree_util.tree_map(
+                    lambda u: u * lr_mult * self.base_lr, updates)
+                new_p = optax.apply_updates(state.params["params"], updates)
+                params = {**state.params, "params": new_p}
+                if self.ema_decay > 0:
+                    ema = jax.tree_util.tree_map(
+                        lambda e, p: e * self.ema_decay + p * (1 - self.ema_decay),
+                        state.ema_params, params)
+                else:
+                    ema = params
+                return RestorationTrainState(params=params, opt_state=opt_state,
+                                             ema_params=ema,
+                                             step=state.step + 1), loss
+
+            self._jit_step = jax.jit(step_fn, donate_argnums=(0,))
+        lr_mult = self.lr_sched(int(state.step))
+        return self._jit_step(state, lq, gt, key, jnp.asarray(lr_mult))
+
+    # ---- inference ----
+    def test(self, params, lq: jnp.ndarray) -> jnp.ndarray:
+        if self._jit_test is None:
+            self._jit_test = jax.jit(
+                lambda p, x: self.net.apply(p, x, deterministic=True))
+        return self._jit_test(params, lq)
+
+    def test_grids(self, params, lq: jnp.ndarray, crop_size: int,
+                   overlap: float = 0.5) -> jnp.ndarray:
+        """Tiled inference with overlapping crops + count-averaged stitching
+        (reference image_restoration_model.py grids/grids_inverse :109-188)."""
+        b, h, w, c = lq.shape
+        step = max(int(crop_size * (1 - overlap)), 1)
+        out = np.zeros((b, h, w, c), np.float32)
+        cnt = np.zeros((1, h, w, 1), np.float32)
+        ys = sorted({min(y, h - crop_size) for y in range(0, h, step)})
+        xs = sorted({min(x, w - crop_size) for x in range(0, w, step)})
+        for y in ys:
+            for x in xs:
+                patch = lq[:, y:y + crop_size, x:x + crop_size, :]
+                pred = np.asarray(self.test(params, patch))
+                out[:, y:y + crop_size, x:x + crop_size, :] += pred
+                cnt[:, y:y + crop_size, x:x + crop_size, :] += 1
+        return jnp.asarray(out / cnt)
+
+    # ---- validation ----
+    def validate(self, params, loader, use_grids: bool = False,
+                 crop_size: int = 256, max_batches: Optional[int] = None
+                 ) -> Dict[str, float]:
+        psnrs, ssims = [], []
+        for i, (lq, gt) in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            lq = jnp.asarray(lq)
+            pred = (self.test_grids(params, lq, crop_size) if use_grids
+                    else self.test(params, lq))
+            pred01 = np.clip(np.asarray(pred), 0, 1)
+            for j in range(len(gt)):
+                a = (pred01[j] * 255).round().astype(np.uint8)
+                bb = (np.asarray(gt[j]) * 255).round().astype(np.uint8)
+                psnrs.append(calculate_psnr(a, bb, crop_border=0))
+                ssims.append(calculate_ssim(a, bb, crop_border=0))
+        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+
+    # ---- checkpointing (save_network/resume parity, base_model.py:195-330) ----
+    def save(self, state: RestorationTrainState, path: str, label: str = "net_g"):
+        save_pytree({"params": state.params, "ema_params": state.ema_params,
+                     "opt_state": state.opt_state,
+                     "step": np.asarray(int(state.step))},
+                    os.path.join(path, f"{label}_{int(state.step)}"))
+
+    def resume(self, path: str) -> RestorationTrainState:
+        data = load_pytree(path)
+        return RestorationTrainState(
+            params=data["params"], ema_params=data["ema_params"],
+            opt_state=data["opt_state"], step=jnp.asarray(int(data["step"])))

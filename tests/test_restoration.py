@@ -1,0 +1,212 @@
+"""Restoration subpackage tests: NAFNet parity vs torch reference, registry,
+losses/schedulers, TLC, tiled inference, train/test CLIs, NIQE math."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import yaml
+
+from nlc_tpu.restoration import ARCH_REGISTRY, define_network, NAFNet
+from nlc_tpu.restoration.losses import PSNRLoss, build_loss
+from nlc_tpu.restoration.lr_schedulers import build_scheduler
+from tests.conftest import requires_reference
+
+
+def test_registry():
+    assert "NAFNet" in ARCH_REGISTRY and "NAFSSR" in ARCH_REGISTRY
+    net = define_network({"type": "NAFNet", "width": 8, "middle_blk_num": 1,
+                          "enc_blk_nums": [1], "dec_blk_nums": [1]})
+    x = jnp.zeros((1, 16, 16, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == x.shape
+    with pytest.raises(KeyError):
+        define_network({"type": "NopeNet"})
+
+
+def test_nafnet_odd_sizes_padder():
+    net = NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                 dec_blk_nums=(1, 1))
+    x = jnp.ones((1, 19, 23, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 19, 23, 3)
+
+
+def test_nafssr_shapes():
+    net = define_network({"type": "NAFSSR", "up_scale": 2, "width": 8,
+                          "num_blks": 2, "fusion_from": 0, "fusion_to": 2})
+    x = jnp.zeros((1, 8, 8, 6))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, 16, 16, 6)
+
+
+@requires_reference
+def test_nafnet_matches_torch(reference_path):
+    import sys, types, torch
+    from tests.test_engine import _stub_missing_reference_deps
+    _stub_missing_reference_deps()
+    # import NAFNet_arch without triggering the archs package __init__ (it
+    # auto-imports every arch, incl. CLIP ones needing real torchvision)
+    for name, path in [("basicsr", "/root/reference/basicsr"),
+                       ("basicsr.models", "/root/reference/basicsr/models"),
+                       ("basicsr.models.archs",
+                        "/root/reference/basicsr/models/archs")]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [path]
+            sys.modules[name] = mod
+    from basicsr.models.archs.NAFNet_arch import NAFNet as TorchNAF
+
+    torch.manual_seed(0)
+    tm = TorchNAF(img_channel=3, width=8, middle_blk_num=1,
+                  enc_blk_nums=[1, 1], dec_blk_nums=[1, 1]).eval()
+    net = NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
+                 dec_blk_nums=(1, 1))
+    # convert weights
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    def conv(p):
+        return {"kernel": np.transpose(sd[f"{p}.weight"], (2, 3, 1, 0)),
+                **({"bias": sd[f"{p}.bias"]} if f"{p}.bias" in sd else {})}
+
+    def ln(p):
+        # BasicSR LayerNorm2d stores weight/bias
+        return {"scale": sd[f"{p}.weight"].reshape(-1),
+                "bias": sd[f"{p}.bias"].reshape(-1)}
+
+    def nafblock(p):
+        return {
+            "norm1": ln(f"{p}.norm1"), "conv1": conv(f"{p}.conv1"),
+            "conv2": conv(f"{p}.conv2"), "sca_conv": conv(f"{p}.sca.1"),
+            "conv3": conv(f"{p}.conv3"), "norm2": ln(f"{p}.norm2"),
+            "conv4": conv(f"{p}.conv4"), "conv5": conv(f"{p}.conv5"),
+            "beta": np.transpose(sd[f"{p}.beta"], (0, 2, 3, 1)),
+            "gamma": np.transpose(sd[f"{p}.gamma"], (0, 2, 3, 1)),
+        }
+
+    params = {"intro": conv("intro"), "ending": conv("ending")}
+    for i in range(2):
+        params[f"enc_{i}_0"] = nafblock(f"encoders.{i}.0")
+        params[f"down_{i}"] = conv(f"downs.{i}")
+        params[f"up_{i}"] = {"kernel": np.transpose(sd[f"ups.{i}.0.weight"],
+                                                    (2, 3, 1, 0))}
+        params[f"dec_{i}_0"] = nafblock(f"decoders.{i}.0")
+    params["middle_0"] = nafblock("middle_blks.0")
+
+    x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    out = net.apply({"params": params},
+                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    # torch PixelShuffle packs (C, r, r) channel-major; our depth_to_space
+    # packs (r, r, C): permute the up conv kernels to compensate
+    def fix_up(p, cin):
+        w = sd[f"ups.{p}.0.weight"]  # (C*4, Cin, 1, 1)
+        cout = w.shape[0] // 4
+        w2 = w.reshape(cout, 2, 2, cin, 1, 1).transpose(1, 2, 0, 3, 4, 5) \
+            .reshape(cout * 4, cin, 1, 1)
+        return {"kernel": np.transpose(w2, (2, 3, 1, 0))}
+
+    params["up_0"] = fix_up(0, sd["ups.0.0.weight"].shape[1])
+    params["up_1"] = fix_up(1, sd["ups.1.0.weight"].shape[1])
+    out = net.apply({"params": params},
+                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_losses_and_schedulers():
+    a = jnp.zeros((2, 4, 4, 3))
+    b = jnp.ones((2, 4, 4, 3)) * 0.1
+    l1 = build_loss({"type": "L1Loss", "loss_weight": 2.0})(a, b)
+    np.testing.assert_allclose(float(l1), 0.2, rtol=1e-5)
+    psnr_loss = PSNRLoss(a, b)
+    assert float(psnr_loss) < 0  # log(0.01) < 0
+    s = build_scheduler({"type": "CosineAnnealingRestartLR", "periods": [10, 10],
+                         "restart_weights": [1, 0.5]})
+    assert s(0) == pytest.approx(1.0, abs=1e-5)
+    assert s(10) == pytest.approx(0.5, abs=1e-2)
+    s2 = build_scheduler({"type": "MultiStepRestartLR", "milestones": [5, 8],
+                          "gamma": 0.1})
+    assert s2(0) == 1.0 and s2(6) == pytest.approx(0.1) and \
+        s2(9) == pytest.approx(0.01)
+
+
+def test_tlc_local_window():
+    """TLC flag changes SCA pooling but keeps shapes; params are shared."""
+    net_g = NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1,), dec_blk_nums=(1,))
+    net_l = NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1,), dec_blk_nums=(1,),
+                   tlc_window=(8, 8))
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3), jnp.float32)
+    params = net_g.init(jax.random.PRNGKey(0), x)
+    # beta/gamma init to zero makes blocks near-identity; randomize so the
+    # SCA pooling branch actually contributes
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.RandomState(1)
+    leaves = [jnp.asarray(rng.randn(*l.shape).astype(np.float32) * 0.1)
+              for l in leaves]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    out_g = net_g.apply(params, x)
+    out_l = net_l.apply(params, x)     # same params, local pooling
+    assert out_l.shape == out_g.shape
+    assert not np.allclose(np.asarray(out_g), np.asarray(out_l))
+
+
+def test_train_and_test_cli(tmp_path):
+    from nlc_tpu.cli.basicsr_train import main as train_main, parse_options
+    opt = {
+        "name": "t", "manual_seed": 0,
+        "network_g": {"type": "NAFNet", "width": 8, "middle_blk_num": 1,
+                      "enc_blk_nums": [1], "dec_blk_nums": [1]},
+        "datasets": {"train": {"type": "synthetic", "gt_size": 16,
+                               "batch_size_per_gpu": 2},
+                     "val": {"type": "synthetic"}},
+        "train": {"total_iter": 6, "pixel_opt": {"type": "PSNRLoss"},
+                  "optim_g": {"lr": 1e-3},
+                  "scheduler": {"type": "LinearLR", "total_iter": 6}},
+        "val": {"val_freq": 100}, "logger": {"print_freq": 2,
+                                             "save_checkpoint_freq": 6},
+        "path": {"experiments_root": str(tmp_path / "exp")},
+    }
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    state, metrics = train_main(parse_options(["-opt", str(opt_path)]))
+    assert int(state.step) >= 6
+    assert os.path.isdir(tmp_path / "exp" / "net_g_6")
+
+    from nlc_tpu.cli.basicsr_test import main as test_main
+    m = test_main(["-opt", str(opt_path), "--ckpt", str(tmp_path / "exp" / "net_g_6"),
+                   "--grids", "1", "--crop_size", "8"])
+    assert "psnr" in m
+
+
+def test_niqe_machinery(tmp_path):
+    """NIQE with synthetic pristine params: smoother image scores closer to
+    the (synthetic) pristine stats than heavy noise."""
+    from nlc_tpu.eval.niqe import niqe_features, calculate_niqe
+    rng = np.random.RandomState(0)
+    # build synthetic 'pristine' stats from smooth images
+    feats = []
+    for i in range(4):
+        base = rng.rand(3, 3) * 255
+        img = np.kron(base, np.ones((32, 32)))
+        img += rng.randn(96, 96) * 2
+        feats.append(niqe_features(img))
+    feats = np.concatenate(feats, axis=0)
+    mu = np.nanmean(feats, axis=0)
+    cov = np.cov(feats, rowvar=False) + np.eye(feats.shape[1]) * 1e-6
+    path = tmp_path / "pris.npz"
+    np.savez(path, mu_pris_param=mu, cov_pris_param=cov)
+
+    smooth = np.kron(rng.rand(3, 3) * 255, np.ones((32, 32))) + \
+        rng.randn(96, 96) * 2
+    noisy = rng.rand(96, 96) * 255
+    s1 = calculate_niqe(smooth, str(path))
+    s2 = calculate_niqe(noisy, str(path))
+    assert s1 < s2
