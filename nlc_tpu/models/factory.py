@@ -85,6 +85,27 @@ def create_simple_sigma_eps_model(config, dtype=jnp.float32):
     return model, head, cfg
 
 
+def create_classifier(image_size: int, classifier_width: int = 128,
+                      classifier_depth: int = 2,
+                      classifier_attention_resolutions: str = "32,16,8",
+                      classifier_use_scale_shift_norm: bool = True,
+                      classifier_resblock_updown: bool = True,
+                      classifier_pool: str = "attention", dtype=jnp.float32,
+                      **_ignored):
+    """ADM noisy-image classifier (reference src/script_util.py:273-311)."""
+    from .classifier import EncoderUNetModel, EncoderUNetConfig
+    cm = default_channel_mult(image_size)
+    attn_ds = tuple(image_size // int(r)
+                    for r in classifier_attention_resolutions.split(","))
+    cfg = EncoderUNetConfig(
+        image_size=image_size, in_channels=3, model_channels=classifier_width,
+        out_channels=1000, num_res_blocks=classifier_depth,
+        attention_resolutions=attn_ds, channel_mult=cm, num_head_channels=64,
+        use_scale_shift_norm=classifier_use_scale_shift_norm,
+        resblock_updown=classifier_resblock_updown, pool=classifier_pool)
+    return EncoderUNetModel(cfg, dtype=dtype), cfg
+
+
 def create_edm_sigma_eps_model(img_resolution: int, in_channels: int = 3,
                                out_channels: int = 3, augment_dim: int = 0,
                                model_channels: int = 128,

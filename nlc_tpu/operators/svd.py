@@ -90,12 +90,22 @@ class SVDOperator:
         return self.A_pinv(vec)
 
 
+def _gate_active(a, sigma_y) -> bool:
+    """The reference's `if a != 0 and sigma_y != 0` guard (:264). `a` may be a
+    traced sqrt(alpha_bar) inside jit — then gate only on the static sigma_y
+    (a == 0 never occurs for alpha_bar > 0, and the a != 0 branch math
+    degrades gracefully anyway)."""
+    if isinstance(a, (int, float)) and a == 0:
+        return False
+    return sigma_y != 0
+
+
 def _lambda_weights(singulars_full: jnp.ndarray, a, sigma_y, sigma_t, eta):
     """The DDNM+ lambda_t gate shared by all operators (reference :253-320)."""
     s = singulars_full
     inv_s = jnp.where(s == 0, 0.0, 1.0 / jnp.where(s == 0, 1.0, s))
     lambda_t = jnp.ones_like(s)
-    if a != 0 and sigma_y != 0:
+    if _gate_active(a, sigma_y):
         change = (sigma_t < a * sigma_y * inv_s).astype(s.dtype)
         lambda_t = lambda_t * (1.0 - change) + change * (
             s * sigma_t * (1 - eta ** 2) ** 0.5 / a / sigma_y)
@@ -107,7 +117,7 @@ def _lambda_noise_weights(singulars_full: jnp.ndarray, a, sigma_y, sigma_t, eta)
     inv_s = jnp.where(s == 0, 0.0, 1.0 / jnp.where(s == 0, 1.0, s))
     d1 = jnp.ones_like(s) * sigma_t * eta
     d2 = jnp.ones_like(s) * sigma_t * (1 - eta ** 2) ** 0.5
-    if a != 0 and sigma_y != 0:
+    if _gate_active(a, sigma_y):
         c = (sigma_t < a * sigma_y * inv_s).astype(s.dtype)
         d1 = d1 * (1 - c) + c * sigma_t * eta
         d2 = d2 * (1 - c)
