@@ -73,8 +73,32 @@ def load_training_data(data_dir: str, batch_size: int, image_size: int,
     files = _list_images(data_dir)[shard::num_shards]
     assert files, f"no images under {data_dir}"
     rng = random.Random(seed + shard)
+
+    # native C++ decode/crop path (thread pool off the GIL) when available;
+    # resampling differs slightly from the PIL path (single bilinear vs
+    # progressive-box + bicubic) — both are valid training pipelines
+    from ..native import native_available, load_batch as native_load
+    use_native = native_available() and not os.environ.get("NLC_DISABLE_NATIVE")
+
+    epoch = 0
     while True:
         rng.shuffle(files)
+        if use_native:
+            for i in range(0, len(files) - batch_size + 1, batch_size):
+                chunk = files[i:i + batch_size]
+                imgs, ok = native_load(chunk, image_size, random_crop,
+                                       seed=seed + epoch * 1000003 + i)
+                if not ok.all():   # fall back per-batch on decode failures
+                    imgs = np.stack([
+                        _load_and_crop(p, image_size, random_crop, rng)
+                        for p in chunk])
+                if random_flip:
+                    flips = np.asarray([rng.random() < 0.5
+                                        for _ in range(len(imgs))])
+                    imgs[flips] = imgs[flips, :, ::-1]
+                yield imgs, np.zeros(batch_size, np.int64)
+            epoch += 1
+            continue
         batch = []
         for path in files:
             arr = _load_and_crop(path, image_size, random_crop, rng)
@@ -84,6 +108,7 @@ def load_training_data(data_dir: str, batch_size: int, image_size: int,
             if len(batch) == batch_size:
                 yield np.stack(batch), np.zeros(batch_size, np.int64)
                 batch = []
+        epoch += 1
 
 
 def cal_data_norm(data_dir: str, image_size: int, n_samples: int = 1024,

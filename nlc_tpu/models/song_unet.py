@@ -40,16 +40,17 @@ class EDMGroupNorm(nn.Module):
         c = x.shape[-1]
         g = min(self.num_groups, c // self.min_channels_per_group)
         orig = x.dtype
-        x32 = x.astype(jnp.float32)
-        xg = x32.reshape(x.shape[:-1] + (g, c // g))
+        shape = x.shape[:-1] + (g, c // g)
         axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        mean = xg.mean(axis=axes, keepdims=True)
-        var = xg.var(axis=axes, keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(var + self.eps)
-        x32 = xg.reshape(x.shape)
+        # fp32 math + cast back (see models.layers.GroupNorm for the
+        # measured rationale)
+        xg32 = x.reshape(shape).astype(jnp.float32)
+        mean = xg32.mean(axis=axes, keepdims=True)
+        var = xg32.var(axis=axes, keepdims=True)
+        xn = (xg32 - mean) * jax.lax.rsqrt(var + self.eps)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return (x32 * scale + bias).astype(orig)
+        return (xn.reshape(x.shape) * scale + bias).astype(orig)
 
 
 def _fir_filter(resample_filter: Sequence[float]) -> np.ndarray:

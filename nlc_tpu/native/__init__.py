@@ -1,0 +1,77 @@
+"""Native (C++) input-pipeline runtime.
+
+The decode + crop + normalize stage is the host-bound part of training data
+loading; `load_batch` runs it on a C++ thread pool (libpng/libjpeg) off the
+GIL. The library compiles on first use with g++ and caches next to this file;
+environments without a toolchain or image libs transparently fall back to the
+PIL path in data.train_data (native_available() gates the fast path).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "image_loader.cpp")
+_LIB = os.path.join(_HERE, "libnlcloader.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB,
+           "-lpng", "-ljpeg", "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=240)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or \
+            os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+        lib.nlc_load_batch.restype = ctypes.c_int
+        lib.nlc_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def load_batch(paths: Sequence[str], resolution: int, random_crop: bool = False,
+               seed: int = 0, num_threads: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (images (N, res, res, 3) float32 in [-1,1], ok flags (N,) bool)."""
+    lib = _load()
+    assert lib is not None, "native loader unavailable"
+    n = len(paths)
+    if num_threads is None:
+        num_threads = min(os.cpu_count() or 1, 16)
+    out = np.empty((n, resolution, resolution, 3), np.float32)
+    ok = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.nlc_load_batch(arr, n, resolution, int(random_crop),
+                       ctypes.c_uint64(seed), num_threads,
+                       out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return out, ok.astype(bool)

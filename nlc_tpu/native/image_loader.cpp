@@ -1,0 +1,225 @@
+// Native data-loader: multithreaded JPEG/PNG decode + center/random crop +
+// normalize, exposed to Python via a C ABI (ctypes).
+//
+// The input pipeline is the one genuinely host-bound stage of the framework
+// (decode + crop + float conversion per image); this runs it on a worker
+// thread pool off the Python GIL, feeding NHWC float32 [-1, 1] batches.
+// The Python wrapper (nlc_tpu/native/__init__.py) compiles this on first use
+// and falls back to PIL when a toolchain or libs are unavailable.
+//
+// Build: g++ -O3 -shared -fPIC image_loader.cpp -o libnlcloader.so -lpng -ljpeg -lpthread
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <atomic>
+#include <thread>
+#include <vector>
+
+#include <png.h>
+#include <jpeglib.h>
+#include <csetjmp>
+
+namespace {
+
+struct Image {
+    std::vector<uint8_t> data;  // RGB8
+    int w = 0, h = 0;
+    bool ok = false;
+};
+
+bool has_suffix(const char* path, const char* a, const char* b = nullptr) {
+    size_t n = strlen(path);
+    auto ends = [&](const char* s) {
+        size_t m = strlen(s);
+        if (n < m) return false;
+        for (size_t i = 0; i < m; i++) {
+            char c = path[n - m + i];
+            if (c >= 'A' && c <= 'Z') c += 32;
+            if (c != s[i]) return false;
+        }
+        return true;
+    };
+    return ends(a) || (b && ends(b));
+}
+
+Image decode_png(const char* path) {
+    Image img;
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return img;
+    png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                             nullptr, nullptr);
+    png_infop info = png_create_info_struct(png);
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_read_struct(&png, &info, nullptr);
+        fclose(fp);
+        return img;
+    }
+    png_init_io(png, fp);
+    png_read_info(png, info);
+    png_uint_32 w, h;
+    int bit_depth, color_type;
+    png_get_IHDR(png, info, &w, &h, &bit_depth, &color_type, nullptr, nullptr,
+                 nullptr);
+    if (bit_depth == 16) png_set_strip_16(png);
+    if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+    if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+        png_set_expand_gray_1_2_4_to_8(png);
+    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    if (color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+        png_set_gray_to_rgb(png);
+    if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+    png_read_update_info(png, info);
+    img.w = (int)w;
+    img.h = (int)h;
+    img.data.resize((size_t)w * h * 3);
+    std::vector<png_bytep> rows(h);
+    for (png_uint_32 y = 0; y < h; y++)
+        rows[y] = img.data.data() + (size_t)y * w * 3;
+    png_read_image(png, rows.data());
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(fp);
+    img.ok = true;
+    return img;
+}
+
+struct JpegErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+    JpegErr* err = (JpegErr*)cinfo->err;
+    longjmp(err->jb, 1);
+}
+
+Image decode_jpeg(const char* path) {
+    Image img;
+    FILE* fp = fopen(path, "rb");
+    if (!fp) return img;
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        fclose(fp);
+        return img;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, fp);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_start_decompress(&cinfo);
+    img.w = cinfo.output_width;
+    img.h = cinfo.output_height;
+    img.data.resize((size_t)img.w * img.h * 3);
+    while (cinfo.output_scanline < cinfo.output_height) {
+        uint8_t* row = img.data.data() + (size_t)cinfo.output_scanline * img.w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    fclose(fp);
+    img.ok = true;
+    return img;
+}
+
+// box-downsample by integer factor then bilinear-resize shortest side to
+// `resolution`, crop to resolution x resolution
+void process_one(const char* path, int resolution, int random_crop,
+                 uint64_t seed, float* out, int* ok_flag) {
+    Image img = has_suffix(path, ".png") ? decode_png(path)
+                : has_suffix(path, ".jpg", ".jpeg") ? decode_jpeg(path)
+                : Image{};
+    if (!img.ok || img.w < 1 || img.h < 1) {
+        *ok_flag = 0;
+        memset(out, 0, sizeof(float) * (size_t)resolution * resolution * 3);
+        return;
+    }
+    // bilinear resize so min side == resolution
+    double scale = (double)resolution / (img.w < img.h ? img.w : img.h);
+    int nw = (int)(img.w * scale + 0.5);
+    int nh = (int)(img.h * scale + 0.5);
+    if (nw < resolution) nw = resolution;
+    if (nh < resolution) nh = resolution;
+    std::vector<float> resized((size_t)nw * nh * 3);
+    for (int y = 0; y < nh; y++) {
+        double sy = (y + 0.5) / scale - 0.5;
+        int y0 = (int)sy;
+        if (y0 < 0) y0 = 0;
+        int y1 = y0 + 1 < img.h ? y0 + 1 : img.h - 1;
+        double fy = sy - y0;
+        if (fy < 0) fy = 0;
+        for (int x = 0; x < nw; x++) {
+            double sx = (x + 0.5) / scale - 0.5;
+            int x0 = (int)sx;
+            if (x0 < 0) x0 = 0;
+            int x1 = x0 + 1 < img.w ? x0 + 1 : img.w - 1;
+            double fx = sx - x0;
+            if (fx < 0) fx = 0;
+            for (int ch = 0; ch < 3; ch++) {
+                double v00 = img.data[((size_t)y0 * img.w + x0) * 3 + ch];
+                double v01 = img.data[((size_t)y0 * img.w + x1) * 3 + ch];
+                double v10 = img.data[((size_t)y1 * img.w + x0) * 3 + ch];
+                double v11 = img.data[((size_t)y1 * img.w + x1) * 3 + ch];
+                double v = v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx +
+                           v10 * fy * (1 - fx) + v11 * fy * fx;
+                resized[((size_t)y * nw + x) * 3 + ch] = (float)v;
+            }
+        }
+    }
+    // crop
+    uint64_t rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    int max_top = nh - resolution, max_left = nw - resolution;
+    int top, left;
+    if (random_crop) {
+        rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+        top = max_top > 0 ? (int)(rng % (uint64_t)(max_top + 1)) : 0;
+        rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+        left = max_left > 0 ? (int)(rng % (uint64_t)(max_left + 1)) : 0;
+    } else {
+        top = max_top / 2;
+        left = max_left / 2;
+    }
+    for (int y = 0; y < resolution; y++) {
+        const float* src = resized.data() + ((size_t)(y + top) * nw + left) * 3;
+        float* dst = out + (size_t)y * resolution * 3;
+        for (int i = 0; i < resolution * 3; i++)
+            dst[i] = src[i] / 127.5f - 1.0f;
+    }
+    *ok_flag = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + crop + normalize a batch of images into out (N, res, res, 3)
+// float32 NHWC in [-1, 1], using `num_threads` workers. ok_flags: per-image
+// success. Returns number of successfully decoded images.
+int nlc_load_batch(const char** paths, int n, int resolution, int random_crop,
+                   uint64_t seed, int num_threads, float* out, int* ok_flags) {
+    if (num_threads < 1) num_threads = 1;
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n) break;
+            process_one(paths[i], resolution, random_crop, seed + (uint64_t)i,
+                        out + (size_t)i * resolution * resolution * 3,
+                        ok_flags + i);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads - 1; t++) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    int ok = 0;
+    for (int i = 0; i < n; i++) ok += ok_flags[i];
+    return ok;
+}
+
+}  // extern "C"

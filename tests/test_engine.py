@@ -221,3 +221,84 @@ def test_denoise_loop_matches_torch_reference(reference_path, style, refine):
     out, _ = denoise_loop(s, bundle, cfg, params, svars, xT, jnp.arange(2))
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out_nchw, ref_out, atol=5e-3, rtol=1e-2)
+
+
+@requires_reference
+@pytest.mark.parametrize("style,clip", [("base", "dynamic"), ("pred", "clamp")])
+def test_adm_denoise_loop_matches_torch(reference_path, style, clip):
+    """End-to-end loop parity on the ADM backbone with learned variance,
+    ddpm sampler (stochastic variance path exercised with zero noise via
+    eta... ddpm uses logvar-noise; compare deterministic ddim instead) and
+    the dynamic-thresholding clip."""
+    import sys, types, torch
+    sys.path.insert(0, "/root/reference")
+    _stub_missing_reference_deps()
+    from src.unet_adm import UNetModel as TorchUNet, SigmaModel as TorchSigma
+    from src.schedulers import get_sampler as torch_get_sampler
+    from src.experiments import ImageExperiment
+    from nlc_tpu.models.adm_unet import ADMUNet, ADMUNetConfig, ADMSigmaHead
+    from nlc_tpu.io.adm_convert import convert_adm_unet, convert_adm_sigma_head
+
+    torch.manual_seed(0)
+    acfg = ADMUNetConfig(image_size=16, model_channels=32, out_channels=6,
+                         num_res_blocks=1, attention_resolutions=(2,),
+                         channel_mult=(1, 2), num_heads=2,
+                         use_scale_shift_norm=True, feat_layer=1)
+    tm = TorchUNet(image_size=16, in_channels=3, model_channels=32,
+                   out_channels=6, num_res_blocks=1, attention_resolutions=(2,),
+                   dropout=0.0, channel_mult=(1, 2), num_classes=None,
+                   use_checkpoint=False, use_fp16=False, num_heads=2,
+                   num_head_channels=-1, num_heads_upsample=-1,
+                   use_scale_shift_norm=True, resblock_updown=False,
+                   use_new_attention_order=False, feat_layer=1).eval()
+    tsig = TorchSigma(dim=8, channels=64, n_blocks=2, out_dim=1, dropout=0.0,
+                      num_heads=2).eval()
+    with torch.no_grad():
+        tsig.train()
+        for _ in range(2):
+            tsig(torch.randn(8, 64, 8, 8))
+        tsig.eval()
+        tsig.final_mlp.weight.mul_(0.01)
+        tsig.final_mlp.bias.fill_(0.02)
+
+    sampler_t = torch_get_sampler("ddim_simple_orig", 1000, 5,
+                                  sigma_style="Linear", sampler_var="learned",
+                                  eta=0.0)
+    exp = ImageExperiment(tm, sampler_t, batch_size=2, data_shape=(3, 16, 16),
+                          seed=0, device="cpu", save_folder="/tmp")
+    exp.set_model(tm, tsig, learn_epsvar=True)
+    exp.set_norm_maxmin(-2.0, 14.0)
+    exp.set_clip_fn(clip)
+    xT_np = np.random.RandomState(4).randn(2, 3, 16, 16).astype(np.float32) * 5
+    with torch.no_grad():
+        ref_out, _ = exp.denoise_loop(shape=(2, 3, 16, 16),
+                                      xT=torch.from_numpy(xT_np), style=style,
+                                      norm_eps=(style != "base"),
+                                      refine_prior_sigma=(style != "base"),
+                                      return_log=False, chunk_size=1,
+                                      sigma_pred_threshold=960)
+    ref_out = ref_out.numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": convert_adm_unet(sd, acfg)}
+    ssd = {k: v.detach().numpy() for k, v in tsig.state_dict().items()}
+    sp, sbs = convert_adm_sigma_head(ssd, 8, 64, 2)
+    svars = {"params": sp, "batch_stats": sbs}
+    model = ADMUNet(acfg)
+    head = ADMSigmaHead(dim=8, channels=64, n_blocks=2, dropout=0.0, num_heads=2)
+    bundle = ModelBundle(
+        forward=lambda p, z, t: model.apply(p, z, t),
+        encode=lambda p, z, t: model.apply(p, z, t, method=ADMUNet.encode),
+        sigma=lambda v, f: head.apply(v, f),
+        learn_epsvar=True)
+    s = get_sampler("ddim_simple_orig", 1000, 5, sigma_style="Linear",
+                    sampler_var="learned", eta=0.0)
+    nmin, nmax = set_norm_maxmin((16, 16, 3), -2.0, 14.0)
+    cfg = DenoiseConfig(style=style, norm_eps=(style != "base"),
+                        refine_prior_sigma=(style != "base"), clip_fn=clip,
+                        sigma_pred_threshold=960, norm_max=nmax, norm_min=nmin)
+    xT = jnp.asarray(np.transpose(xT_np, (0, 2, 3, 1)))
+    out, _ = denoise_loop(s, bundle, cfg, params, svars, xT, jnp.arange(2))
+    out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out_nchw, ref_out, atol=1e-2, rtol=2e-2,
+                               err_msg=f"{style}/{clip}")

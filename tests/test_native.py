@@ -1,0 +1,71 @@
+"""Native C++ image loader + precision utilities tests."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from nlc_tpu.native import native_available, load_batch
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, ext in enumerate(["png", "jpg", "png"]):
+        arr = (rng.rand(48 + i, 56, 3) * 255).astype(np.uint8)
+        p = d / f"img{i}.{ext}"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+    return d, paths
+
+
+@pytest.mark.skipif(not native_available(), reason="no native toolchain")
+def test_native_loader(image_dir):
+    d, paths = image_dir
+    imgs, ok = load_batch(paths, 32, random_crop=False, seed=0)
+    assert imgs.shape == (3, 32, 32, 3)
+    assert ok.all()
+    assert -1.0 <= imgs.min() and imgs.max() <= 1.0
+    # deterministic
+    imgs2, _ = load_batch(paths, 32, random_crop=False, seed=0)
+    np.testing.assert_array_equal(imgs, imgs2)
+    # random crop differs by seed
+    a, _ = load_batch(paths, 16, random_crop=True, seed=1)
+    b, _ = load_batch(paths, 16, random_crop=True, seed=2)
+    assert not np.array_equal(a, b)
+    # bad path flagged, not crashed
+    imgs3, ok3 = load_batch(paths + [str(d / "nope.png")], 16)
+    assert ok3[:3].all() and not ok3[3]
+
+
+@pytest.mark.skipif(not native_available(), reason="no native toolchain")
+def test_training_pipeline_uses_native(image_dir, monkeypatch):
+    d, paths = image_dir
+    from nlc_tpu.data.train_data import load_training_data
+    it = load_training_data(str(d), batch_size=2, image_size=16, seed=0,
+                            shard=0, num_shards=1)
+    imgs, labels = next(it)
+    assert imgs.shape == (2, 16, 16, 3)
+    assert np.isfinite(imgs).all()
+
+
+def test_dynamic_loss_scale():
+    import jax.numpy as jnp
+    from nlc_tpu.utils.precision import DynamicLossScale, apply_updates_if_finite
+    s = DynamicLossScale.create(initial_lg_scale=10.0)
+    grads = {"w": jnp.ones(3)}
+    finite, s2 = s.check_and_update(grads)
+    assert bool(finite)
+    assert float(s2.lg_scale) == pytest.approx(10.0 + 1e-3)
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 2.0])}
+    finite, s3 = s2.check_and_update(bad)
+    assert not bool(finite)
+    assert float(s3.lg_scale) == pytest.approx(float(s2.lg_scale) - 1.0)
+    # step skipping
+    params = {"w": jnp.zeros(3)}
+    out = apply_updates_if_finite(params, {"w": jnp.ones(3)}, jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(out["w"]), 0.0)
+    out = apply_updates_if_finite(params, {"w": jnp.ones(3)}, jnp.asarray(True))
+    np.testing.assert_array_equal(np.asarray(out["w"]), 1.0)
