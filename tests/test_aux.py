@@ -131,3 +131,33 @@ def test_classifier_pool_modes():
         assert m.apply(v, x, t).shape == (2, 10)
     model, cfg = create_classifier(64, classifier_width=32, classifier_depth=1)
     assert cfg.out_channels == 1000
+
+
+def test_data_transforms_roundtrip():
+    from nlc_tpu.data.transforms import (DataTransformConfig, data_transform,
+                                         inverse_data_transform)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 3), jnp.float32)
+    for cfg in [DataTransformConfig(rescaled=True),
+                DataTransformConfig(rescaled=False, logit_transform=True)]:
+        y = data_transform(x, cfg)
+        back = inverse_data_transform(y, cfg)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+    key = jax.random.PRNGKey(0)
+    deq = data_transform(x, DataTransformConfig(uniform_dequantization=True),
+                         key=key)
+    assert not np.allclose(np.asarray(deq), np.asarray(2 * x - 1))
+
+
+def test_ckpt_util_registry(tmp_path):
+    from nlc_tpu.io.ckpt_util import get_ckpt_path, md5_hash, CKPT_REGISTRY
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        get_ckpt_path("nope")
+    # local-cache path: plant a file with matching md5
+    p = tmp_path / "models" / "celeba_hq.ckpt"
+    p.parent.mkdir(parents=True)
+    p.write_bytes(b"fake")
+    CKPT_REGISTRY["celeba_hq"]["md5"] = md5_hash(str(p))
+    got = get_ckpt_path("celeba_hq", root=str(tmp_path / "models"),
+                        allow_download=False)
+    assert got == str(p)
