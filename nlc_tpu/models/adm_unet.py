@@ -329,6 +329,21 @@ class ADMUNet(nn.Module):
         return out, feat
 
 
+class SuperResADMUNet(nn.Module):
+    """ADM UNet conditioned on a low-resolution image: the bilinear-upsampled
+    low_res concatenates to the input channels (reference unet_adm.py:799-813
+    SuperResModel). Build with in_channels doubled in the config."""
+    config: ADMUNetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, low_res, y=None, deterministic: bool = True):
+        b, h, w, c = x.shape
+        up = jax.image.resize(low_res, (b, h, w, low_res.shape[-1]), "bilinear")
+        inner = ADMUNet(self.config, dtype=self.dtype, name="unet")
+        return inner(jnp.concatenate([x, up], axis=-1), t, y, deterministic)
+
+
 class ADMSigmaHead(nn.Module):
     """ADM-flavored sigma head (reference unet_adm.py:1029-1083): same topology
     as the DDIM one but with ADM blocks (PureResNetBlock, qkv attention,

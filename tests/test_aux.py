@@ -161,3 +161,26 @@ def test_ckpt_util_registry(tmp_path):
     got = get_ckpt_path("celeba_hq", root=str(tmp_path / "models"),
                         allow_download=False)
     assert got == str(p)
+
+
+def test_superres_model():
+    from nlc_tpu.models.adm_unet import SuperResADMUNet, ADMUNetConfig
+    cfg = ADMUNetConfig(image_size=16, in_channels=6, model_channels=32,
+                        out_channels=3, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2))
+    m = SuperResADMUNet(cfg)
+    x = jnp.zeros((2, 16, 16, 3))
+    lr = jnp.zeros((2, 4, 4, 3))
+    t = jnp.array([3.0, 500.0])
+    v = m.init(jax.random.PRNGKey(0), x, t, lr)
+    out = m.apply(v, x, t, lr)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_replica_consistency_check():
+    from nlc_tpu.parallel.consistency import check_replica_consistency
+    from nlc_tpu.parallel import make_mesh, replicate
+    mesh = make_mesh()
+    tree = {"w": jnp.ones((8, 8))}
+    rep = replicate(mesh, tree)
+    assert check_replica_consistency(rep) == []

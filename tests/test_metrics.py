@@ -117,3 +117,34 @@ def test_ssim_matches_reference_2d(reference_path):
     ours_y = calculate_ssim(a, b, crop_border=0, test_y_channel=True)
     theirs_y = ref.calculate_ssim(a, b, crop_border=0, test_y_channel=True)
     np.testing.assert_allclose(ours_y, theirs_y, rtol=1e-5)
+
+
+@requires_reference
+def test_matlab_imresize_matches_reference(reference_path):
+    """Our imresize vs basicsr's MATLAB-faithful torch implementation."""
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    _import_reference_psnr_ssim()   # installs the torchvision/skimage stubs
+    from basicsr.utils.matlab_functions import imresize as ref_imresize
+    from nlc_tpu.eval.matlab_resize import imresize
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(17, 23, 3).astype(np.float32)
+    for scale in [0.25, 0.5, 2.0, 1.7]:
+        ours = imresize(img, scale)
+        theirs = ref_imresize(img, scale)  # numpy in -> numpy HWC out
+        if hasattr(theirs, "numpy"):
+            theirs = theirs.numpy().transpose(1, 2, 0)
+        theirs = np.asarray(theirs)
+        np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"scale {scale}")
+
+
+def test_matlab_imresize_basic():
+    from nlc_tpu.eval.matlab_resize import imresize
+    img = np.ones((16, 16, 3), np.float32) * 0.5
+    out = imresize(img, 0.5)
+    assert out.shape == (8, 8, 3)
+    np.testing.assert_allclose(out, 0.5, atol=1e-6)
+    out2 = imresize(img[..., 0], 2.0)
+    assert out2.shape == (32, 32)
