@@ -53,7 +53,7 @@ def main():
     quick = "--quick" in sys.argv
     kind = os.environ.get("NLC_BENCH_MODEL", "adm")
     res = 64 if quick else 256
-    batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "4"))
+    batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "8"))
     steps = 10 if quick else 50
 
     rng = jax.random.PRNGKey(0)

@@ -280,7 +280,10 @@ def denoise_loop(sampler: Sampler, bundle: ModelBundle, cfg: DenoiseConfig,
                    "const": const, "sigma": sigma_t[:, 0, 0, 0]}
         return (xt_next, x0_last, best_x0, best_val, dead, ge_state), log
 
-    ge0 = {"eps_prev": jnp.zeros_like(xT), "i": jnp.asarray(0)}
+    # eps-momentum state only exists for the GE sampler (saves an image-sized
+    # carry buffer for every other sampler)
+    ge0 = ({"eps_prev": jnp.zeros_like(xT), "i": jnp.asarray(0)}
+           if sampler.name == "ge" else {})
     carry0 = (xT, xT, xT, jnp.asarray(1e4, jnp.float32), jnp.asarray(False), ge0)
     (xt, x0_last, best_x0, best_val, dead, _), logs = jax.lax.scan(step, carry0, xs)
 

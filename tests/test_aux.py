@@ -184,3 +184,20 @@ def test_replica_consistency_check():
     tree = {"w": jnp.ones((8, 8))}
     rep = replicate(mesh, tree)
     assert check_replica_consistency(rep) == []
+
+
+def test_ge_sampler_in_loop():
+    """The GE 2nd-order sampler works through the scan engine (momentum
+    state carried only for this sampler)."""
+    from tests.test_engine import make_bundle
+    from nlc_tpu.engine import DenoiseConfig, denoise_loop, init_noise
+    from nlc_tpu.sched import get_sampler
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ge", 1000, 4, sigma_style="Linear", eta=0.5, ge_gamma=2.0,
+                    sampler_var="fixedsmall")
+    cfg = DenoiseConfig(style="base")
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    out, _ = denoise_loop(s, bundle, cfg, params, svars, xT, seeds)
+    assert out.shape == (2, 16, 16, 3)
+    assert bool(jnp.isfinite(out).all())
