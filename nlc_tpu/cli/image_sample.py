@@ -243,6 +243,8 @@ def make_fid_fn(args):
 def evaluate_unconstraint(args, sampler, run_fn, images_dir, data_shape, fid):
     n_batches = math.ceil(args.sample_size / args.batch_size)
     log_dict = {}
+    return_lists = []
+    res_pkl_path = os.path.join(args.test_dir, args.save_flag, "results_dump.pkl")
     for i in range(n_batches):
         if batch_exists(images_dir, i, args.batch_size) and not args.sample_overwrite:
             logger.log(f"skip batch {i}")
@@ -251,10 +253,18 @@ def evaluate_unconstraint(args, sampler, run_fn, images_dir, data_shape, fid):
         xT = init_noise(sampler, seeds, data_shape, bool(args.norm_init_noise))
         t1 = time.time()
         with logger.profile_kv("sample"):
-            sample, _ = run_fn(xT, seeds)
+            sample, logs = run_fn(xT, seeds)
             sample.block_until_ready()
         logger.log(f"batch {i}/{n_batches} time: {time.time()-t1:.2f}s")
         save_batch(np.asarray(sample), images_dir, i)
+        if args.return_log and logs:
+            # per-step trajectory dump (reference image_sample.py:557-560:
+            # z/eps/x0_prec/x0_postc/sigma lists -> joblib pkl)
+            import joblib
+            return_lists.append(
+                {k: np.asarray(v) for k, v in logs.items()})
+            joblib.dump(return_lists, res_pkl_path)
+            logger.log("res pkl save done", i, res_pkl_path)
     if fid is not None:
         log_dict["fid"] = fid.fid_of_dir(images_dir)
         if not fid.is_inception:

@@ -76,11 +76,38 @@ def _local_window_mean(x, window: Tuple[int, int]):
         feature_group_count=c)
 
 
+def _prompt_attention(h, ft):
+    """Semantic-prompt attention: cosine similarity between the feature map
+    and a prompt vector, used as a spatial attention weight (the SPANet-family
+    mechanism, reference SPANet_arch.py:70-76)."""
+    hn = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    fn = ft / jnp.maximum(jnp.linalg.norm(ft, axis=-1, keepdims=True), 1e-12)
+    w = (hn * fn).sum(axis=-1, keepdims=True)
+    return h * w
+
+
 class NAFBlock(nn.Module):
+    """NAFNet-family block. conv_attn / ffn_attn select the attention
+    mechanism — the axis along which the reference's NAF variants differ:
+
+      conv_attn: 'sca' (NAFNet), 'ca' learned per-channel scale (CANet),
+                 'none' (NOANet), 'prompt' learned-vector cosine (SSANet),
+                 'pooled_prompt' SCA-pooled prompt (SCSANet),
+                 'sca_prompt' SCA then learned prompt (SSSANet),
+                 'sca_pooled_prompt' SCA then second-SCA prompt (SSCSANet)
+      ffn_attn:  'none', 'prompt' (SPANet), 'prompt_residual' (RSPANet)
+    """
     dw_expand: int = 2
     ffn_expand: int = 2
     drop_out_rate: float = 0.0
     tlc_window: Optional[Tuple[int, int]] = None
+    conv_attn: str = "sca"
+    ffn_attn: str = "none"
+
+    def _pool(self, h):
+        if self.tlc_window is None:
+            return h.mean(axis=(1, 2), keepdims=True)
+        return _local_window_mean(h, self.tlc_window)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -91,12 +118,19 @@ class NAFBlock(nn.Module):
         h = nn.Conv(dw, (1, 1), name="conv1")(h)
         h = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw, name="conv2")(h)
         h = simple_gate(h)
-        if self.tlc_window is None:
-            pooled = h.mean(axis=(1, 2), keepdims=True)
-        else:
-            pooled = _local_window_mean(h, self.tlc_window)
-        att = nn.Conv(dw // 2, (1, 1), name="sca_conv")(pooled)
-        h = h * att
+        if self.conv_attn in ("sca", "sca_prompt", "sca_pooled_prompt"):
+            att = nn.Conv(dw // 2, (1, 1), name="sca_conv")(self._pool(h))
+            h = h * att
+        if self.conv_attn == "ca":
+            ca = self.param("ca", nn.initializers.ones, (1, 1, 1, dw // 2))
+            h = h * ca
+        if self.conv_attn in ("prompt", "sca_prompt"):
+            ft = self.param("ft", nn.initializers.ones, (1, dw // 2))
+            h = _prompt_attention(h, ft.reshape(1, 1, 1, -1))
+        if self.conv_attn in ("pooled_prompt", "sca_pooled_prompt"):
+            name = "sca2_conv" if self.conv_attn == "sca_pooled_prompt" else "sca_conv"
+            ft = nn.Conv(dw // 2, (1, 1), name=name)(self._pool(h))
+            h = _prompt_attention(h, ft)
         h = nn.Conv(c, (1, 1), name="conv3")(h)
         h = nn.Dropout(self.drop_out_rate, deterministic=deterministic)(h)
         beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
@@ -105,6 +139,11 @@ class NAFBlock(nn.Module):
         f = LayerNorm2d(name="norm2")(y)
         f = nn.Conv(self.ffn_expand * c, (1, 1), name="conv4")(f)
         f = simple_gate(f)
+        if self.ffn_attn in ("prompt", "prompt_residual"):
+            ft = self.param("ffn_ft", nn.initializers.ones,
+                            (1, self.ffn_expand * c // 2))
+            attn = _prompt_attention(f, ft.reshape(1, 1, 1, -1))
+            f = attn + f if self.ffn_attn == "prompt_residual" else attn
         f = nn.Conv(c, (1, 1), name="conv5")(f)
         f = nn.Dropout(self.drop_out_rate, deterministic=deterministic)(f)
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
@@ -127,6 +166,19 @@ class NAFNet(nn.Module):
     dec_blk_nums: Sequence[int] = ()
     drop_out_rate: float = 0.0
     tlc_window: Optional[Tuple[int, int]] = None   # set at test time for TLC
+    conv_attn: str = "sca"
+    ffn_attn: str = "none"
+    spa_enc_levels: Tuple[int, ...] = ()   # encoder levels using SPA blocks
+                                           # (NSPANet uses level 3)
+
+    def _block(self, name, enc_level=None):
+        if enc_level is not None and enc_level in self.spa_enc_levels:
+            return NAFBlock(drop_out_rate=self.drop_out_rate,
+                            tlc_window=self.tlc_window, conv_attn="sca",
+                            ffn_attn="prompt", name=name)
+        return NAFBlock(drop_out_rate=self.drop_out_rate,
+                        tlc_window=self.tlc_window, conv_attn=self.conv_attn,
+                        ffn_attn=self.ffn_attn, name=name)
 
     @nn.compact
     def __call__(self, inp, deterministic: bool = True):
@@ -141,28 +193,47 @@ class NAFNet(nn.Module):
         skips = []
         for i, num in enumerate(self.enc_blk_nums):
             for j in range(num):
-                x = NAFBlock(drop_out_rate=self.drop_out_rate,
-                             tlc_window=self.tlc_window,
-                             name=f"enc_{i}_{j}")(x, deterministic)
+                x = self._block(f"enc_{i}_{j}", enc_level=i)(x, deterministic)
             skips.append(x)
             x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), name=f"down_{i}")(x)
             chan *= 2
         for j in range(self.middle_blk_num):
-            x = NAFBlock(drop_out_rate=self.drop_out_rate,
-                         tlc_window=self.tlc_window,
-                         name=f"middle_{j}")(x, deterministic)
+            x = self._block(f"middle_{j}")(x, deterministic)
         for i, num in enumerate(self.dec_blk_nums):
             x = nn.Conv(chan * 2, (1, 1), use_bias=False, name=f"up_{i}")(x)
             x = depth_to_space(x, 2)
             chan //= 2
             x = x + skips[-(i + 1)]
             for j in range(num):
-                x = NAFBlock(drop_out_rate=self.drop_out_rate,
-                             tlc_window=self.tlc_window,
-                             name=f"dec_{i}_{j}")(x, deterministic)
+                x = self._block(f"dec_{i}_{j}")(x, deterministic)
         x = nn.Conv(self.img_channel, (3, 3), padding=1, name="ending")(x)
         x = x + x_in
         return x[:, :h0, :w0, :]
+
+
+def _variant(name: str, **block_kw):
+    """Register a NAFNet skeleton with a different block mechanism
+    (reference CANet/NOANet/SPANet/SSANet/SCSANet/SSSANet/SSCSANet/RSPANet/
+    NSPANet *_arch.py files — identical nets, different block attention)."""
+    import functools
+
+    def ctor(**kw):
+        return NAFNet(**{**block_kw, **kw})
+
+    ctor.__name__ = name
+    ARCH_REGISTRY[name] = ctor
+    return ctor
+
+
+CANet = _variant("CANet", conv_attn="ca")
+NOANet = _variant("NOANet", conv_attn="none")
+SSANet = _variant("SSANet", conv_attn="prompt")
+SCSANet = _variant("SCSANet", conv_attn="pooled_prompt")
+SSSANet = _variant("SSSANet", conv_attn="sca_prompt")
+SSCSANet = _variant("SSCSANet", conv_attn="sca_pooled_prompt")
+SPANet = _variant("SPANet", conv_attn="sca", ffn_attn="prompt")
+RSPANet = _variant("RSPANet", conv_attn="sca", ffn_attn="prompt_residual")
+NSPANet = _variant("NSPANet", conv_attn="sca", spa_enc_levels=(3,))
 
 
 @register_arch

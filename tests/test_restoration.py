@@ -210,3 +210,27 @@ def test_niqe_machinery(tmp_path):
     s1 = calculate_niqe(smooth, str(path))
     s2 = calculate_niqe(noisy, str(path))
     assert s1 < s2
+
+
+def test_naf_variant_family():
+    """All registered NAF variants run and differ where mechanisms differ."""
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3), jnp.float32)
+    outs = {}
+    for name in ["NAFNet", "CANet", "NOANet", "SSANet", "SCSANet", "SSSANet",
+                 "SSCSANet", "SPANet", "RSPANet", "NSPANet"]:
+        net = define_network({"type": name, "width": 8, "middle_blk_num": 1,
+                              "enc_blk_nums": [1, 1, 1, 1],
+                              "dec_blk_nums": [1, 1, 1, 1]})
+        params = net.init(jax.random.PRNGKey(0), x)
+        out = net.apply(params, x)
+        assert out.shape == x.shape, name
+        assert np.isfinite(np.asarray(out)).all(), name
+        outs[name] = np.asarray(out)
+    # param structures differ (mechanism-specific weights exist)
+    ssanet = define_network({"type": "SSANet", "width": 8, "middle_blk_num": 1,
+                             "enc_blk_nums": [1], "dec_blk_nums": [1]})
+    p = ssanet.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    keys = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("ft" in k for k in keys)
+    assert not any("sca_conv" in k for k in keys)
