@@ -101,12 +101,15 @@ def main():
         encode=lambda p, z, t: model.apply(p, z, t, method=encode_method),
         sigma=lambda v, f: head.apply(v, f),
         learn_epsvar=learn_epsvar,
+        forward_and_encode=lambda p, z, t: model.apply(
+            p, z, t, method="forward_and_encode"),
     )
     sampler = get_sampler("ddim_simple_orig", 1000, steps,
                           sampler_var="learned" if learn_epsvar
                           else "fixedsmall", eta=0.85)
     nmin, nmax = set_norm_maxmin((res, res, 3), 0.0, 397.0)
-    dcfg = DenoiseConfig(style="pred", norm_eps=True, refine_prior_sigma=True,
+    style = os.environ.get("NLC_BENCH_STYLE", "pred")
+    dcfg = DenoiseConfig(style=style, norm_eps=True, refine_prior_sigma=True,
                          clip_fn="clamp", sigma_pred_threshold=960,
                          norm_max=nmax, norm_min=nmin)
     fn = build_denoise_fn(sampler, bundle, dcfg, donate_x=False)
@@ -132,7 +135,7 @@ def main():
     baseline = A100_TORCH_IMGS_PER_SEC["ddim" if quick else kind]
     result = {
         "metric": f"images/sec/chip, {steps}-step NLC-DDIM {res}x{res} "
-                  f"{model_name} sampling (bf16)",
+                  f"{model_name} sampling (bf16, style={dcfg.style})",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),

@@ -74,7 +74,7 @@ def get_args(argv=None):
 
     p.add_argument("--norm_eps", type=int, default=0)
     p.add_argument("--sigma_type", type=str, default="pred",
-                   choices=["base", "pred", "pred_partial"])
+                   choices=["base", "pred", "pred_partial", "pred_fast"])
     p.add_argument("--sampling", type=str, default="project",
                    choices=["denoise", "project"])
     p.add_argument("--norm_init_noise", type=int, default=0)
@@ -224,6 +224,8 @@ def build_models_and_params(args, config):
         encode=lambda p, z, t: model.apply(p, z, t, method=encode_method),
         sigma=lambda v, f: head.apply(v, f),
         learn_epsvar=learn_epsvar,
+        forward_and_encode=lambda p, z, t: model.apply(
+            p, z, t, method="forward_and_encode"),
     )
     return bundle, params, svars, ucfg
 

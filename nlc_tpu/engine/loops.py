@@ -46,16 +46,24 @@ from ..utils.rng import per_sample_step_noise
 @dataclass(frozen=True)
 class ModelBundle:
     """The three callables the engine needs (the reference's L5->L3 model
-    contract, SURVEY.md §1): eps forward, encoder feature tap, sigma head."""
+    contract, SURVEY.md §1): eps forward, encoder feature tap, sigma head.
+    forward_and_encode (one fused pass) additionally enables the 'pred_fast'
+    style."""
     forward: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
     encode: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
     sigma: Callable[[Any, jnp.ndarray], jnp.ndarray]
     learn_epsvar: bool = False
+    forward_and_encode: Optional[Callable] = None
 
 
 @dataclass(frozen=True)
 class DenoiseConfig:
-    style: str = "base"               # 'base' | 'pred' | 'pred_partial'
+    # 'base' | 'pred' | 'pred_partial' (reference styles), plus 'pred_fast':
+    # a TPU-first extension running ONE fused forward_and_encode per step —
+    # eps comes from the same pass that feeds the sigma head, and only the
+    # noise-level estimate sigma_hat is corrected (~1.6x fewer UNet FLOPs per
+    # step than 'pred'; quality sits between 'base' and 'pred').
+    style: str = "base"
     norm_eps: bool = False
     refine_prior_sigma: bool = False
     sigma_pred_threshold: float = 1000.0
@@ -229,15 +237,32 @@ def denoise_loop(sampler: Sampler, bundle: ModelBundle, cfg: DenoiseConfig,
         )
         t = jnp.clip(t, 0.0, t_max)
 
-        sigma_t, sigma_prev, t = jax.lax.cond(
-            x["use_pred"],
-            lambda args: _nlc_correct(sampler, bundle, cfg, sigma_vars, params,
-                                      *args, t_max=t_max),
-            lambda args: args[1:],
-            (xt, sigma_t, sigma_prev, t),
-        )
-
-        eps, learned_logvar = _forward_eps(sampler, bundle, cfg, params, xt, sigma_t, t)
+        if cfg.style == "pred_fast":
+            # one fused pass: eps and the sigma-head feature share the UNet
+            assert bundle.forward_and_encode is not None, \
+                "pred_fast needs bundle.forward_and_encode"
+            abar = 1.0 / (sigma_t ** 2 + 1.0)
+            out, feat = bundle.forward_and_encode(params, xt * jnp.sqrt(abar), t)
+            residual = bundle.sigma(sigma_vars, feat)
+            dist_hat = sigma_t * (1.0 + residual)
+            sigma_t = jnp.where(x["use_pred"], dist_hat, sigma_t)
+            if bundle.learn_epsvar:
+                c = out.shape[-1] // 2
+                eps, learned_logvar = out[..., :c], out[..., c:]
+            else:
+                eps, learned_logvar = out, None
+            if cfg.norm_eps:
+                eps = normalize(eps)
+        else:
+            sigma_t, sigma_prev, t = jax.lax.cond(
+                x["use_pred"],
+                lambda args: _nlc_correct(sampler, bundle, cfg, sigma_vars, params,
+                                          *args, t_max=t_max),
+                lambda args: args[1:],
+                (xt, sigma_t, sigma_prev, t),
+            )
+            eps, learned_logvar = _forward_eps(sampler, bundle, cfg, params, xt,
+                                               sigma_t, t)
         logvar = get_eps_logvar(sigma_t, sigma_prev, sampler.sampler_var,
                                 sampler.grid.min_var_coef, learned_logvar)
 
@@ -355,10 +380,37 @@ def projection_loop(sampler: Sampler, bundle: ModelBundle, cfg: DenoiseConfig,
             _, st_, sp_, t_ = args
             return st_, sp_, jnp.clip(t_, 0.0, t_max)
 
-        sigma_t, sigma_prev, t = jax.lax.cond(
-            over, base_only, with_pred, (xt, sigma_t, sigma_prev, t))
+        if cfg.style == "pred_fast":
+            # fused NLC: the refine clamp stays gated on the threshold, but
+            # the sigma correction shares the single UNet pass with eps
+            assert bundle.forward_and_encode is not None, \
+                "pred_fast needs bundle.forward_and_encode"
 
-        eps, learned_logvar = _forward_eps(sampler, bundle, cfg, params, xt, sigma_t, t)
+            def refine_only(args):
+                xt_, st_, sp_, t_ = args
+                if cfg.refine_prior_sigma:
+                    st_, sp_, t_ = _refine_sigma(sampler, cfg, xt_, st_, sp_, t_)
+                return st_, sp_, jnp.clip(t_, 0.0, t_max)
+
+            sigma_t, sigma_prev, t = jax.lax.cond(
+                over, base_only, refine_only, (xt, sigma_t, sigma_prev, t))
+            abar = 1.0 / (sigma_t ** 2 + 1.0)
+            out, feat = bundle.forward_and_encode(params, xt * jnp.sqrt(abar), t)
+            residual = bundle.sigma(sigma_vars, feat)
+            dist_hat = sigma_t * (1.0 + residual)
+            sigma_t = jnp.where(over, sigma_t, dist_hat)
+            if bundle.learn_epsvar:
+                c = out.shape[-1] // 2
+                eps, learned_logvar = out[..., :c], out[..., c:]
+            else:
+                eps, learned_logvar = out, None
+            if cfg.norm_eps:
+                eps = normalize(eps)
+        else:
+            sigma_t, sigma_prev, t = jax.lax.cond(
+                over, base_only, with_pred, (xt, sigma_t, sigma_prev, t))
+            eps, learned_logvar = _forward_eps(sampler, bundle, cfg, params, xt,
+                                               sigma_t, t)
         logvar = get_eps_logvar(sigma_t, sigma_prev, sampler.sampler_var,
                                 sampler.grid.min_var_coef, learned_logvar)
         x0_hat = clip(pred_xstart(xt, eps, sigma_t))

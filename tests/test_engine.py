@@ -31,6 +31,8 @@ def make_bundle(seed=0):
         encode=lambda p, z, t: model.apply(p, z, t, method=DDIMUNet.encode),
         sigma=lambda v, f: head.apply(v, f),
         learn_epsvar=False,
+        forward_and_encode=lambda p, z, t: model.apply(
+            p, z, t, method=DDIMUNet.forward_and_encode),
     )
     return bundle, params, svars
 
@@ -302,3 +304,56 @@ def test_adm_denoise_loop_matches_torch(reference_path, style, clip):
     out_nchw = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out_nchw, ref_out, atol=1e-2, rtol=2e-2,
                                err_msg=f"{style}/{clip}")
+
+
+def _cfg(style):
+    return DenoiseConfig(style=style, norm_eps=True, refine_prior_sigma=True,
+                         clip_fn="clamp", norm_max=0.9, norm_min=0.0,
+                         sigma_pred_threshold=960)
+
+
+def test_pred_fast_zero_residual_matches_base():
+    """pred_fast with a zeroed sigma head (residual == 0) leaves sigma_hat ==
+    sigma_t, so the trajectory must exactly equal style='base' under the same
+    refine/norm settings — the fused pass changes FLOPs, not math."""
+    bundle, params, svars = make_bundle()
+    zero_svars = jax.tree_util.tree_map(jnp.zeros_like, svars)
+    s = get_sampler("ddim_simple_orig", 1000, 4, sigma_style="Linear",
+                    sampler_var="fixedsmall", eta=0.0)
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    out_fast, _ = denoise_loop(s, bundle, _cfg("pred_fast"), params,
+                               zero_svars, xT, seeds)
+    out_base, _ = denoise_loop(s, bundle, _cfg("base"), params,
+                               zero_svars, xT, seeds)
+    assert bool(jnp.isfinite(out_fast).all())
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_base),
+                               atol=1e-6)
+
+
+def test_pred_fast_random_head_differs_from_base():
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ddim_simple_orig", 1000, 4, sigma_style="Linear",
+                    sampler_var="fixedsmall", eta=0.0)
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    out_fast, _ = denoise_loop(s, bundle, _cfg("pred_fast"), params, svars,
+                               xT, seeds)
+    out_base, _ = denoise_loop(s, bundle, _cfg("base"), params, svars, xT, seeds)
+    assert bool(jnp.isfinite(out_fast).all())
+    assert not np.allclose(np.asarray(out_fast), np.asarray(out_base))
+
+
+def test_pred_fast_projection_loop():
+    bundle, params, svars = make_bundle()
+    s = get_sampler("ddim_simple_orig", 1000, 4, sigma_style="Linear",
+                    sampler_var="fixedsmall", eta=0.0)
+    nmin, nmax = set_norm_maxmin((16, 16, 3), -2.0, 14.0)
+    cfg = DenoiseConfig(style="pred_fast", norm_eps=True, refine_prior_sigma=True,
+                        clip_fn="clamp", sigma_pred_threshold=960,
+                        norm_max=nmax, norm_min=nmin, max_T=6)
+    seeds = jnp.arange(2)
+    xT = init_noise(s, seeds, (16, 16, 3))
+    out, _ = projection_loop(s, bundle, cfg, params, svars, xT, seeds)
+    assert out.shape == (2, 16, 16, 3)
+    assert bool(jnp.isfinite(out).all())
