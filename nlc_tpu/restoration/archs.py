@@ -95,7 +95,10 @@ class NAFBlock(nn.Module):
                  'pooled_prompt' SCA-pooled prompt (SCSANet),
                  'sca_prompt' SCA then learned prompt (SSSANet),
                  'sca_pooled_prompt' SCA then second-SCA prompt (SSCSANet)
-      ffn_attn:  'none', 'prompt' (SPANet), 'prompt_residual' (RSPANet)
+      ffn_attn:  'none', 'prompt' (SPANet), 'prompt_residual' (RSPANet),
+                 'clip_prompt' external CLIP text feature via an affine
+                 projection (PANet — reference PABlock, PANet_arch.py:122-193;
+                 the 512-d feature arrives as the ft argument)
     """
     dw_expand: int = 2
     ffn_expand: int = 2
@@ -110,7 +113,7 @@ class NAFBlock(nn.Module):
         return _local_window_mean(h, self.tlc_window)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ft=None):
         c = x.shape[-1]
         dw = c * self.dw_expand
 
@@ -140,10 +143,16 @@ class NAFBlock(nn.Module):
         f = nn.Conv(self.ffn_expand * c, (1, 1), name="conv4")(f)
         f = simple_gate(f)
         if self.ffn_attn in ("prompt", "prompt_residual"):
-            ft = self.param("ffn_ft", nn.initializers.ones,
-                            (1, self.ffn_expand * c // 2))
-            attn = _prompt_attention(f, ft.reshape(1, 1, 1, -1))
+            pft = self.param("ffn_ft", nn.initializers.ones,
+                             (1, self.ffn_expand * c // 2))
+            attn = _prompt_attention(f, pft.reshape(1, 1, 1, -1))
             f = attn + f if self.ffn_attn == "prompt_residual" else attn
+        if self.ffn_attn == "clip_prompt":
+            # PANet: project the frozen-CLIP text feature into the gated FFN
+            # channel space and use its cosine weight (PANet_arch.py:182-187)
+            assert ft is not None, "clip_prompt block needs a text feature"
+            ftc = nn.Dense(self.ffn_expand * c // 2, name="affine")(ft)
+            f = _prompt_attention(f, ftc.reshape(1, 1, 1, -1))
         f = nn.Conv(c, (1, 1), name="conv5")(f)
         f = nn.Dropout(self.drop_out_rate, deterministic=deterministic)(f)
         gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
@@ -170,6 +179,26 @@ class NAFNet(nn.Module):
     ffn_attn: str = "none"
     spa_enc_levels: Tuple[int, ...] = ()   # encoder levels using SPA blocks
                                            # (NSPANet uses level 3)
+    # PANet: per-block prompts through a frozen CLIP text tower
+    # (PANet_arch.py:66-114 PromptLearner + :243-247). n_ctx learned context
+    # tokens per prompt; prefix/suffix are the frozen SOT / ".(EOT)pad"
+    # embeddings taken from the CLIP checkpoint at conversion time.
+    clip_prompt: bool = False
+    n_ctx: int = 3
+    clip_width: int = 512
+    clip_layers: int = 12
+    clip_heads: int = 8
+    clip_embed_dim: int = 512
+    clip_ctx_len: int = 77
+
+    @property
+    def frozen_prefixes(self) -> Tuple[str, ...]:
+        """Param-path prefixes the trainer must not update (the reference
+        freezes the CLIP tower and prompt prefix/suffix embeddings,
+        PANet_arch.py:245 requires_grad_(False))."""
+        if self.clip_prompt:
+            return ("text_encoder", "token_prefix", "token_suffix")
+        return ()
 
     def _block(self, name, enc_level=None):
         if enc_level is not None and enc_level in self.spa_enc_levels:
@@ -180,6 +209,27 @@ class NAFNet(nn.Module):
                         tlc_window=self.tlc_window, conv_attn=self.conv_attn,
                         ffn_attn=self.ffn_attn, name=name)
 
+    def _text_features(self):
+        """One frozen-CLIP pass over all learned prompts -> (ft_num, 512),
+        unit-normalized (PANet_arch.py forward :257-261)."""
+        from .clip_text import CLIPTextEncoder
+        ft_num = self.middle_blk_num + sum(self.enc_blk_nums) + \
+            sum(self.dec_blk_nums)
+        ctx = self.param("ctx", nn.initializers.normal(0.02),
+                         (ft_num, self.n_ctx, self.clip_width))
+        prefix = self.param("token_prefix", nn.initializers.normal(0.02),
+                            (ft_num, 1, self.clip_width))
+        suffix = self.param(
+            "token_suffix", nn.initializers.normal(0.02),
+            (ft_num, self.clip_ctx_len - 1 - self.n_ctx, self.clip_width))
+        prompts = jnp.concatenate([prefix, ctx, suffix], axis=1)
+        # fixed "X X X." template: EOT sits right after [SOT][ctx...][.]
+        tf = CLIPTextEncoder(self.clip_width, self.clip_layers, self.clip_heads,
+                             self.clip_ctx_len, self.clip_embed_dim,
+                             name="text_encoder")(prompts, eot_idx=self.n_ctx + 2)
+        return tf / jnp.maximum(jnp.linalg.norm(tf, axis=-1, keepdims=True),
+                                1e-12)
+
     @nn.compact
     def __call__(self, inp, deterministic: bool = True):
         b, h0, w0, _ = inp.shape
@@ -188,24 +238,34 @@ class NAFNet(nn.Module):
         pw = (pad - w0 % pad) % pad
         x_in = jnp.pad(inp, ((0, 0), (0, ph), (0, pw), (0, 0)))
 
+        tfs = self._text_features() if self.clip_prompt else None
+        ctr = 0
+
+        def blk(x, name, enc_level=None):
+            nonlocal ctr
+            ft = tfs[ctr] if tfs is not None else None
+            ctr += 1
+            return self._block(name, enc_level=enc_level)(x, deterministic,
+                                                          ft=ft)
+
         x = nn.Conv(self.width, (3, 3), padding=1, name="intro")(x_in)
         chan = self.width
         skips = []
         for i, num in enumerate(self.enc_blk_nums):
             for j in range(num):
-                x = self._block(f"enc_{i}_{j}", enc_level=i)(x, deterministic)
+                x = blk(x, f"enc_{i}_{j}", enc_level=i)
             skips.append(x)
             x = nn.Conv(2 * chan, (2, 2), strides=(2, 2), name=f"down_{i}")(x)
             chan *= 2
         for j in range(self.middle_blk_num):
-            x = self._block(f"middle_{j}")(x, deterministic)
+            x = blk(x, f"middle_{j}")
         for i, num in enumerate(self.dec_blk_nums):
             x = nn.Conv(chan * 2, (1, 1), use_bias=False, name=f"up_{i}")(x)
             x = depth_to_space(x, 2)
             chan //= 2
             x = x + skips[-(i + 1)]
             for j in range(num):
-                x = self._block(f"dec_{i}_{j}")(x, deterministic)
+                x = blk(x, f"dec_{i}_{j}")
         x = nn.Conv(self.img_channel, (3, 3), padding=1, name="ending")(x)
         x = x + x_in
         return x[:, :h0, :w0, :]
@@ -234,6 +294,8 @@ SSCSANet = _variant("SSCSANet", conv_attn="sca_pooled_prompt")
 SPANet = _variant("SPANet", conv_attn="sca", ffn_attn="prompt")
 RSPANet = _variant("RSPANet", conv_attn="sca", ffn_attn="prompt_residual")
 NSPANet = _variant("NSPANet", conv_attn="sca", spa_enc_levels=(3,))
+PANet = _variant("PANet", conv_attn="sca", ffn_attn="clip_prompt",
+                 clip_prompt=True)
 
 
 @register_arch

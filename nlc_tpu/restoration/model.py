@@ -52,8 +52,22 @@ class RestorationModel:
         wd = train_opt.get("optim_g", {}).get("weight_decay", 0.0)
         self.tx = optax.adamw(learning_rate=1.0, b1=betas[0], b2=betas[1],
                               weight_decay=wd)
+        # archs can declare frozen sub-trees (PANet's CLIP tower — the
+        # reference sets requires_grad_(False) on it, PANet_arch.py:245)
+        self.frozen_prefixes = tuple(getattr(self.net, "frozen_prefixes", ()))
         self._jit_step = None
         self._jit_test = None
+
+    def _mask_frozen(self, updates):
+        if not self.frozen_prefixes:
+            return updates
+
+        def mask(path, u):
+            keys = tuple(str(getattr(k, "key", k)) for k in path)
+            if any(k.startswith(self.frozen_prefixes) for k in keys):
+                return jnp.zeros_like(u)
+            return u
+        return jax.tree_util.tree_map_with_path(mask, updates)
 
     # ---- init / state ----
     def init_state(self, sample_lq: jnp.ndarray, seed: int = 0
@@ -83,6 +97,7 @@ class RestorationModel:
                                                     state.params["params"])
                 updates = jax.tree_util.tree_map(
                     lambda u: u * lr_mult * self.base_lr, updates)
+                updates = self._mask_frozen(updates)
                 new_p = optax.apply_updates(state.params["params"], updates)
                 params = {**state.params, "params": new_p}
                 if self.ema_decay > 0:

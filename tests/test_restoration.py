@@ -234,3 +234,133 @@ def test_naf_variant_family():
     keys = {"/".join(str(k) for k in path) for path, _ in flat}
     assert any("ft" in k for k in keys)
     assert not any("sca_conv" in k for k in keys)
+
+
+def _stub_clip_deps():
+    """clip.py imports ftfy + torchvision.transforms; neither is in the image
+    and neither is touched by tokenize() on ASCII prompt templates."""
+    import sys, types
+    if "ftfy" not in sys.modules:
+        f = types.ModuleType("ftfy")
+        f.fix_text = lambda s: s
+        sys.modules["ftfy"] = f
+    import tests.test_engine as te
+    te._stub_missing_reference_deps()
+    tv = sys.modules["torchvision"]
+    if not hasattr(tv, "transforms"):
+        tr = types.ModuleType("torchvision.transforms")
+        for name in ["Compose", "Resize", "CenterCrop", "ToTensor", "Normalize"]:
+            setattr(tr, name, type(name, (), {"__init__": lambda self, *a, **k: None}))
+        tr.InterpolationMode = type("InterpolationMode", (), {"BICUBIC": None})
+        tv.transforms = tr
+        sys.modules["torchvision.transforms"] = tr
+
+
+@requires_reference
+def test_clip_text_encoder_matches_torch(reference_path):
+    """Flax CLIP text tower vs the vendored torch model.py on random weights,
+    driving exactly the PANet TextEncoder path (embedded prompts in, projected
+    EOT feature out)."""
+    import sys, types, torch
+    _stub_clip_deps()
+    for name, path in [("basicsr", "/root/reference/basicsr"),
+                       ("basicsr.models", "/root/reference/basicsr/models")]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [path]
+            sys.modules[name] = mod
+    from basicsr.models.clip.model import CLIP
+
+    torch.manual_seed(0)
+    tm = CLIP(embed_dim=96, image_resolution=32, vision_layers=2,
+              vision_width=64, vision_patch_size=16, context_length=77,
+              vocab_size=100, transformer_width=64, transformer_heads=4,
+              transformer_layers=2).eval()
+    prompts = np.random.RandomState(0).randn(3, 77, 64).astype(np.float32)
+    eot = 5
+    with torch.no_grad():
+        x = torch.from_numpy(prompts) + tm.positional_embedding
+        x = tm.transformer(x.permute(1, 0, 2)).permute(1, 0, 2)
+        x = tm.ln_final(x)
+        ref = (x[torch.arange(3), eot] @ tm.text_projection).numpy()
+
+    from nlc_tpu.restoration import CLIPTextEncoder, convert_clip_text
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_clip_text(sd, prefix="", layers=2)
+    enc = CLIPTextEncoder(width=64, layers=2, heads=4, ctx_len=77, embed_dim=96)
+    got = enc.apply({"params": params}, jnp.asarray(prompts), eot_idx=eot)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-5, rtol=1e-4)
+
+
+@requires_reference
+def test_panet_matches_torch(reference_path):
+    """End-to-end PANet parity: full torch PANet built over a small vendored
+    CLIP (load_clip_to_cpu patched out — no weight download), converted via
+    convert_panet, compared on a random image."""
+    import sys, types, torch
+    _stub_clip_deps()
+    for name, path in [("basicsr", "/root/reference/basicsr"),
+                       ("basicsr.models", "/root/reference/basicsr/models"),
+                       ("basicsr.models.archs",
+                        "/root/reference/basicsr/models/archs")]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = [path]
+            sys.modules[name] = mod
+    from basicsr.models.clip.model import CLIP
+    import basicsr.models.archs.PANet_arch as pa
+
+    torch.manual_seed(0)
+    small_clip = CLIP(embed_dim=512, image_resolution=32, vision_layers=2,
+                      vision_width=64, vision_patch_size=16, context_length=77,
+                      vocab_size=49408, transformer_width=64,
+                      transformer_heads=4, transformer_layers=2).eval()
+    pa.load_clip_to_cpu = lambda: small_clip
+    tm = pa.PANet(img_channel=3, width=8, middle_blk_num=1,
+                  enc_blk_nums=[1, 1], dec_blk_nums=[1, 1]).eval()
+    # sanity: the fixed "X X X." template puts EOT at n_ctx + 2
+    assert int(tm.tokenized_prompts.argmax(dim=-1)[0]) == 5
+
+    x = np.random.RandomState(1).randn(2, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+
+    from nlc_tpu.restoration import define_network, convert_panet
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = convert_panet(sd, enc_blk_nums=[1, 1], dec_blk_nums=[1, 1],
+                           middle_blk_num=1, clip_layers=2)
+    net = define_network({"type": "PANet", "width": 8, "middle_blk_num": 1,
+                          "enc_blk_nums": [1, 1], "dec_blk_nums": [1, 1],
+                          "clip_width": 64, "clip_layers": 2, "clip_heads": 4,
+                          "clip_embed_dim": 512})
+    out = net.apply({"params": params},
+                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+def test_panet_frozen_clip_training():
+    """Trainer leaves the CLIP tower and prefix/suffix untouched while ctx and
+    conv weights move (reference freezes via requires_grad_(False))."""
+    from nlc_tpu.restoration.model import RestorationModel
+    opt = {"network_g": {"type": "PANet", "width": 8, "middle_blk_num": 1,
+                         "enc_blk_nums": [1], "dec_blk_nums": [1],
+                         "clip_width": 32, "clip_layers": 1, "clip_heads": 2,
+                         "clip_embed_dim": 32},
+           "train": {"total_iter": 2, "pixel_opt": {"type": "L1Loss"},
+                     "optim_g": {"lr": 1e-2}}}
+    m = RestorationModel(opt)
+    lq = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 3), jnp.float32)
+    state = m.init_state(lq)
+    p0 = jax.device_get(state.params["params"])
+    state, loss = m.train_step(state, lq, gt, jax.random.PRNGKey(0))
+    state, loss = m.train_step(state, lq, gt, jax.random.PRNGKey(1))
+    p1 = jax.device_get(state.params["params"])
+    frozen_same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.array_equal(a, b), p0["text_encoder"],
+        p1["text_encoder"]))
+    assert frozen_same
+    assert np.array_equal(p0["token_prefix"], p1["token_prefix"])
+    assert not np.array_equal(p0["ctx"], p1["ctx"])
+    assert not np.array_equal(p0["intro"]["kernel"], p1["intro"]["kernel"])
