@@ -110,3 +110,72 @@ def paired_loader(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
             yield np.stack(lqs), np.stack(gts)
         if not infinite:
             return
+
+
+class SingleImageDataset:
+    """lq-only inference dataset (reference data/single_image_dataset.py):
+    yields (lq, path) pairs for demo/visualization runs with no ground truth."""
+
+    def __init__(self, dataroot_lq: str):
+        if dataroot_lq.endswith(".lmdb"):
+            raise NotImplementedError(
+                "LMDB backends need the lmdb package (not in this image); "
+                "extract to folders instead")
+        self.files = sorted(os.listdir(dataroot_lq))
+        self.root = dataroot_lq
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, i: int):
+        path = os.path.join(self.root, self.files[i])
+        lq = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
+        return lq, path
+
+
+class StereoPairedDataset:
+    """Stereo SR pairs for NAFSSR (reference data/paired_image_SR_LR_dataset.py
+    stereo mode): left/right views stacked channel-wise to 6 channels, matched
+    lq/gt folders with <name>_L/<name>_R file pairs or per-sample dirs holding
+    lr0/lr1 + hr0/hr1."""
+
+    def __init__(self, dataroot_gt: str, dataroot_lq: str, gt_size: int = 64,
+                 scale: int = 2, phase: str = "train", use_flip: bool = True,
+                 use_rot: bool = False, seed: int = 0):
+        names = sorted(os.listdir(dataroot_gt))
+        self.pairs = []
+        for n in names:
+            if n.endswith("_L.png") or n.endswith("_L.jpg"):
+                r = n.replace("_L.", "_R.")
+                if r in names:
+                    self.pairs.append((n, r))
+        if not self.pairs:
+            raise ValueError(f"no *_L/*_R stereo pairs under {dataroot_gt}")
+        self.root_gt = dataroot_gt
+        self.root_lq = dataroot_lq
+        self.gt_size = gt_size
+        self.scale = scale
+        self.phase = phase
+        self.use_flip = use_flip
+        self.use_rot = use_rot
+        self.rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load(self, root, name):
+        return np.asarray(Image.open(os.path.join(root, name)).convert("RGB"),
+                          np.float32) / 255.0
+
+    def __getitem__(self, i: int):
+        ln, rn = self.pairs[i]
+        gt = np.concatenate([self._load(self.root_gt, ln),
+                             self._load(self.root_gt, rn)], axis=-1)
+        lq = np.concatenate([self._load(self.root_lq, ln),
+                             self._load(self.root_lq, rn)], axis=-1)
+        if self.phase == "train":
+            gt, lq = paired_random_crop(gt, lq, self.gt_size, self.scale,
+                                        self.rng)
+            gt, lq = paired_augment(gt, lq, self.use_flip, self.use_rot,
+                                    self.rng)
+        return lq.copy(), gt.copy()

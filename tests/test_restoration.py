@@ -364,3 +364,46 @@ def test_panet_frozen_clip_training():
     assert np.array_equal(p0["token_prefix"], p1["token_prefix"])
     assert not np.array_equal(p0["ctx"], p1["ctx"])
     assert not np.array_equal(p0["intro"]["kernel"], p1["intro"]["kernel"])
+
+
+def test_demo_cli_and_datasets(tmp_path):
+    """basicsr_demo single-image inference + SingleImage/Stereo datasets."""
+    from PIL import Image
+    from nlc_tpu.cli.basicsr_demo import main as demo_main
+    from nlc_tpu.restoration.data import SingleImageDataset, StereoPairedDataset
+    rng = np.random.RandomState(0)
+    inp = tmp_path / "in.png"
+    Image.fromarray((rng.rand(19, 23, 3) * 255).astype(np.uint8)).save(inp)
+    opt = {"name": "d", "network_g": {"type": "NAFNet", "width": 8,
+                                      "middle_blk_num": 1,
+                                      "enc_blk_nums": [1], "dec_blk_nums": [1]}}
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    out = demo_main(["-opt", str(opt_path), "--input", str(inp),
+                     "--output", str(tmp_path / "out.png")])
+    assert np.asarray(Image.open(out)).shape == (19, 23, 3)
+
+    # single-image dataset yields (lq, path)
+    sroot = tmp_path / "single"
+    sroot.mkdir()
+    Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(
+        sroot / "a.png")
+    ds = SingleImageDataset(str(sroot))
+    lq, path = ds[0]
+    assert lq.shape == (8, 8, 3) and path.endswith("a.png")
+
+    # stereo pairs stack to 6 channels; crop respects scale
+    for sub in ["gt", "lq"]:
+        d = tmp_path / sub
+        d.mkdir()
+        size = 16 if sub == "gt" else 8
+        for side in ["L", "R"]:
+            Image.fromarray((rng.rand(size, size, 3) * 255).astype(np.uint8)
+                            ).save(d / f"v_{side}.png")
+    sds = StereoPairedDataset(str(tmp_path / "gt"), str(tmp_path / "lq"),
+                              gt_size=8, scale=2)
+    lq, gt = sds[0]
+    assert lq.shape == (4, 4, 6) and gt.shape == (8, 8, 6)
+    with pytest.raises(ValueError):
+        StereoPairedDataset(str(sroot), str(sroot))
