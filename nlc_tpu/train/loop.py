@@ -88,7 +88,31 @@ def run_sigma_training(state: SigmaTrainState, train_step: Callable,
                 w.writerow(row)
         np.savetxt(os.path.join(cfg.save_dir, "train_losses.txt"),
                    np.asarray(losses))
+        _plot_curves(cfg.save_dir, logs, losses)
     return state
+
+
+def _plot_curves(save_dir: str, logs: dict, losses) -> None:
+    """Loss/FID curve PNGs next to the TSV (reference experiments.py:725-753
+    matplotlib dumps); skipped silently when matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return
+    fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+    ax[0].plot(losses)
+    ax[0].set_title("train loss")
+    ax[0].set_xlabel("iter")
+    ax[1].plot(logs["epoch"], logs["fid"], label="fid")
+    ax[1].plot(logs["epoch"], logs["fid_sigma_ped"], label="fid_pred")
+    ax[1].set_title("fid")
+    ax[1].set_xlabel("epoch")
+    ax[1].legend()
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "train_curves.png"), dpi=100)
+    plt.close(fig)
 
 
 def make_denoise_eval_fn(sampler, bundle: ModelBundle, frozen_params,
