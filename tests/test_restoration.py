@@ -407,3 +407,25 @@ def test_demo_cli_and_datasets(tmp_path):
     assert lq.shape == (4, 4, 6) and gt.shape == (8, 8, 6)
     with pytest.raises(ValueError):
         StereoPairedDataset(str(sroot), str(sroot))
+
+
+def test_demo_ssr_cli(tmp_path):
+    from PIL import Image
+    from nlc_tpu.cli.basicsr_demo_ssr import main as ssr_main
+    rng = np.random.RandomState(0)
+    for side in ["l", "r"]:
+        Image.fromarray((rng.rand(10, 12, 3) * 255).astype(np.uint8)).save(
+            tmp_path / f"{side}.png")
+    opt = {"name": "ssr", "network_g": {"type": "NAFSSR", "up_scale": 2,
+                                        "width": 8, "num_blks": 1,
+                                        "fusion_from": 0, "fusion_to": 1}}
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    out_l, out_r = ssr_main([
+        "-opt", str(opt_path),
+        "--input_l", str(tmp_path / "l.png"), "--input_r", str(tmp_path / "r.png"),
+        "--output_l", str(tmp_path / "sl.png"),
+        "--output_r", str(tmp_path / "sr.png")])
+    assert np.asarray(Image.open(out_l)).shape == (20, 24, 3)
+    assert np.asarray(Image.open(out_r)).shape == (20, 24, 3)
