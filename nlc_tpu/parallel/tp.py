@@ -68,3 +68,19 @@ def tp_sharding_summary(params: Any, mesh: Mesh, axis: str = "model",
             sharded += n
     return {"total_params": total, "sharded_params": sharded,
             "sharded_fraction": sharded / max(total, 1)}
+
+
+def fsdp_param_sharding(params: Any, mesh: Mesh, axis: str = "data",
+                        min_size: int = 2 ** 15) -> Any:
+    """FSDP/ZeRO-style sharding: same output-feature rules, but over the DATA
+    axis of a 1-D mesh. Each chip holds 1/N of every large tensor; XLA
+    all-gathers weights where used and reduce-scatters gradients — the GSPMD
+    formulation of fully-sharded data parallel. Combine with data_sharding on
+    the batch."""
+    return tp_param_sharding(params, mesh, axis=axis, min_size=min_size)
+
+
+def apply_fsdp_sharding(params: Any, mesh: Mesh, axis: str = "data",
+                        min_size: int = 2 ** 15) -> Any:
+    sh = fsdp_param_sharding(params, mesh, axis=axis, min_size=min_size)
+    return jax.tree_util.tree_map(jax.device_put, params, sh)
