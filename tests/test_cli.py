@@ -113,3 +113,53 @@ def test_result_evaluater(tmp_path):
     assert "psnr" in rows[0] and rows[0]["n_matched"] == 3
     assert os.path.exists(base / "img_results.json")
     assert os.path.exists(tmp_path / "res" / "summary.csv")
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference"),
+                    reason="reference not available")
+def test_convert_checkpoint_cli(store, tmp_path):
+    """Offline torch->orbax conversion: converted+saved params match the torch
+    model through the public DDIMUNet apply."""
+    import sys, types, torch
+    import jax, jax.numpy as jnp
+    sys.path.insert(0, "/root/reference")
+    from tests.test_engine import _stub_missing_reference_deps
+    _stub_missing_reference_deps()
+    from src.unet_simple import Model as TorchModel
+
+    cfgm = types.SimpleNamespace(ch=32, out_ch=3, ch_mult=[1, 2],
+                                 num_res_blocks=1, attn_resolutions=[8],
+                                 dropout=0.0, in_channels=3,
+                                 resamp_with_conv=True, type="simple",
+                                 feat_layer=0)
+    tcfg = types.SimpleNamespace(
+        model=cfgm, data=types.SimpleNamespace(image_size=16),
+        diffusion=types.SimpleNamespace(num_diffusion_timesteps=1000))
+    torch.manual_seed(0)
+    tm = TorchModel(tcfg).eval()
+    src = tmp_path / "eps.ckpt"
+    torch.save(tm.state_dict(), src)
+
+    from nlc_tpu.cli.convert_checkpoint import main as conv_main
+    paths = conv_main(["--family", "nlc", "--config", "celeba",
+                       "--config_path", "tiny", "--store_dir", store,
+                       "--load_eps", str(src), "--dst", str(tmp_path / "out")])
+    from nlc_tpu.io.checkpoints import load_pytree
+    eps = load_pytree(paths[0])
+
+    from nlc_tpu.models.ddim_unet import DDIMUNet, DDIMUNetConfig
+    net = DDIMUNet(DDIMUNetConfig(ch=32, out_ch=3, ch_mult=(1, 2),
+                                  num_res_blocks=1, attn_resolutions=(8,),
+                                  in_channels=3, resolution=16))
+    x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.tensor([5.0, 9.0])).numpy()
+    got = net.apply(eps, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                    jnp.asarray([5.0, 9.0]))
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, atol=1e-4)
+
+    with pytest.raises(SystemExit):
+        conv_main(["--family", "nlc", "--load_eps", "nope", "--dst", "x"])
+    with pytest.raises(SystemExit):
+        conv_main(["--family", "nlc", "--dst", "x"])
