@@ -271,3 +271,23 @@ def test_fsdp_sharding_training_step():
     err = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), ref_g, g2)
     assert max(jax.tree_util.tree_leaves(err)) < 1e-4
+
+
+def test_roofline_and_profiled_function():
+    from nlc_tpu.utils.profiling import (roofline, format_roofline,
+                                         profiled_function)
+    a = jnp.asarray(np.random.RandomState(0).randn(256, 256), jnp.float32)
+
+    r = roofline(lambda x: x @ x, a, iters=2)
+    assert r["time_s"] > 0
+    assert r["flops"] >= 2 * 256 ** 3 * 0.9      # cost analysis counts the matmul
+    assert r["tflops_per_s"] > 0
+    s = format_roofline("matmul", r)
+    assert "TF/s" in s and "ms" in s
+
+    @profiled_function
+    def double(x):
+        return x * 2
+
+    np.testing.assert_allclose(np.asarray(double(a)), np.asarray(a) * 2)
+    assert double.__name__ == "double"
