@@ -150,3 +150,54 @@ def convert_adm_sigma_head(sd: Dict[str, np.ndarray], dim: int, channels: int,
     batch_stats = {"bn": {"mean": sd["fc_layer.2.running_mean"],
                           "var": sd["fc_layer.2.running_var"]}}
     return params, batch_stats
+
+
+def convert_classifier(sd: Dict[str, np.ndarray], config) -> dict:
+    """EncoderUNetModel (classifier) state_dict -> models.classifier params
+    (reference src/unet_adm.py:816-1027, incl. the four pooling heads and
+    AttentionPool2d :22-51 whose positional embedding is channel-major)."""
+    params = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "input_conv": _conv(sd, "input_blocks.0.0"),
+    }
+    n, bi, ds = 1, 0, 1
+    for level, _ in enumerate(config.channel_mult):
+        for _ in range(config.num_res_blocks):
+            params[f"block_{bi}"] = _adm_resblock(sd, f"input_blocks.{n}.0")
+            if ds in config.attention_resolutions:
+                params[f"attn_{bi}"] = _adm_attn(sd, f"input_blocks.{n}.1")
+            bi += 1
+            n += 1
+        if level != len(config.channel_mult) - 1:
+            if config.resblock_updown:
+                params[f"down_{level}"] = _adm_resblock(sd,
+                                                        f"input_blocks.{n}.0")
+            else:
+                params[f"down_{level}"] = {
+                    "conv": _conv(sd, f"input_blocks.{n}.0.op")}
+            n += 1
+            ds *= 2
+    params["middle_0"] = _adm_resblock(sd, "middle_block.0")
+    params["middle_1"] = _adm_attn(sd, "middle_block.1")
+    params["middle_2"] = _adm_resblock(sd, "middle_block.2")
+
+    if config.pool == "adaptive":
+        params["out_norm"] = _norm(sd, "out.0")
+        params["out_conv"] = _conv(sd, "out.3")
+    elif config.pool == "attention":
+        params["out_norm"] = _norm(sd, "out.0")
+        params["out_pool"] = {
+            "positional_embedding": np.transpose(
+                sd["out.2.positional_embedding"], (1, 0)),
+            "qkv_proj": _conv1d_as_dense(sd, "out.2.qkv_proj"),
+            "c_proj": _conv1d_as_dense(sd, "out.2.c_proj"),
+        }
+    elif config.pool == "spatial":
+        params["out_fc1"] = _dense(sd, "out.0")
+        params["out_fc2"] = _dense(sd, "out.2")
+    else:  # spatial_v2
+        params["out_fc1"] = _dense(sd, "out.0")
+        params["out_norm"] = _norm(sd, "out.1")
+        params["out_fc2"] = _dense(sd, "out.3")
+    return params

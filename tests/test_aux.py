@@ -291,3 +291,40 @@ def test_roofline_and_profiled_function():
 
     np.testing.assert_allclose(np.asarray(double(a)), np.asarray(a) * 2)
     assert double.__name__ == "double"
+
+
+@requires_reference
+def test_classifier_matches_torch(reference_path):
+    """Golden: converted EncoderUNetModel matches the torch classifier for
+    every pooling head (incl. AttentionPool2d)."""
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    from tests.test_engine import _stub_missing_reference_deps
+    _stub_missing_reference_deps()
+    from src.unet_adm import EncoderUNetModel as TorchEnc
+    from nlc_tpu.models.classifier import EncoderUNetModel, EncoderUNetConfig
+    from nlc_tpu.io.adm_convert import convert_classifier
+
+    x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
+    ts = np.array([3.0, 700.0], np.float32)
+    for pool in ["adaptive", "attention", "spatial", "spatial_v2"]:
+        torch.manual_seed(0)
+        tm = TorchEnc(image_size=16, in_channels=3, model_channels=32,
+                      out_channels=10, num_res_blocks=1,
+                      attention_resolutions=(2,), channel_mult=(1, 2),
+                      num_head_channels=16, use_scale_shift_norm=True,
+                      resblock_updown=True, pool=pool).eval()
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x), torch.from_numpy(ts)).numpy()
+        cfg = EncoderUNetConfig(image_size=16, model_channels=32,
+                                out_channels=10, num_res_blocks=1,
+                                attention_resolutions=(2,), channel_mult=(1, 2),
+                                num_head_channels=16, use_scale_shift_norm=True,
+                                resblock_updown=True, pool=pool)
+        net = EncoderUNetModel(cfg)
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params = {"params": convert_classifier(sd, cfg)}
+        got = net.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                        jnp.asarray(ts))
+        np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-3,
+                                   err_msg=pool)
