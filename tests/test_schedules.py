@@ -169,3 +169,67 @@ def test_eps_logvar_matches_torch_reference(reference_path):
             our_lv = float(get_eps_logvar(jnp.asarray(st.item()), jnp.asarray(sp.item()),
                                           var, ours.grid.min_var_coef))
             np.testing.assert_allclose(our_lv, ref_lv, rtol=1e-3, err_msg=f"{var} step {i}")
+
+
+@requires_reference
+def test_pred_xprev_step_rules_match_torch(reference_path, monkeypatch):
+    """Golden per-sampler step rule: identical (x0, eps, xt, logvar, noise) in,
+    identical x_prev out, for every sampler class and eta in {0, 0.85}.
+    torch.randn_like is patched to a fixed array so the stochastic branches
+    compare exactly."""
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    from tests.test_engine import _stub_missing_reference_deps
+    _stub_missing_reference_deps()
+    import src.schedulers as ref_sched
+
+    rng = np.random.RandomState(0)
+    shape = (2, 4, 4, 3)
+    x0 = rng.randn(*shape).astype(np.float32)
+    eps = rng.randn(*shape).astype(np.float32)
+    fixed_noise = rng.randn(*shape).astype(np.float32)
+    sig_t, sig_prev = 2.5, 1.3
+
+    monkeypatch.setattr(ref_sched.torch, "randn_like",
+                        lambda x: torch.from_numpy(fixed_noise))
+
+    names = ["ddim", "ddim_simple", "ddim_orig", "ddim_simple_orig",
+             "ddim_simple_drag", "ddpm", "ddpm_orig", "ge"]
+    for name in names:
+        for eta in ([1.0] if name.startswith("ddpm") or name == "ge"
+                    else [0.0, 0.85]):
+            ref = ref_sched.get_sampler(name, 1000, 10, sampler_var="fixedsmall",
+                                        eta=eta)
+            if hasattr(ref, "reset_state"):
+                ref.reset_state()
+            ref.i = 0
+            ours = get_sampler(name, 1000, 10, sampler_var="fixedsmall", eta=eta)
+
+            st = torch.full((2, 1, 1, 1), sig_t)
+            sp = torch.full((2, 1, 1, 1), sig_prev)
+            logvar_t = ref.get_eps_logvar(st, sp)
+            kwargs = dict(log_variance=logvar_t)
+            if name == "ge":
+                r = ref.pred_xprev(torch.from_numpy(x0), torch.from_numpy(eps),
+                                   st, sp, **kwargs)
+            else:
+                r = ref.pred_xprev(torch.from_numpy(x0), torch.from_numpy(eps),
+                                   st, sp, xt=torch.from_numpy(x0)
+                                   + st * torch.from_numpy(eps), **kwargs)
+            ref_out = r.numpy()
+
+            sj = jnp.full((2, 1, 1, 1), sig_t)
+            spj = jnp.full((2, 1, 1, 1), sig_prev)
+            lv = get_eps_logvar(sj, spj, "fixedsmall", ours.grid.min_var_coef,
+                                None)
+            xt = jnp.asarray(x0) + sj * jnp.asarray(eps)
+            out = pred_xprev(ours, jnp.asarray(x0), jnp.asarray(eps), sj, spj,
+                             xt, lv, jnp.asarray(fixed_noise),
+                             eta=jnp.asarray(eta, jnp.float32),
+                             ge_state={"eps_prev": jnp.zeros(shape),
+                                       "i": jnp.asarray(0)}
+                             if name == "ge" else None)
+            if name == "ge":
+                out = out[0]
+            np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5,
+                                       rtol=1e-4, err_msg=f"{name} eta={eta}")
