@@ -114,3 +114,42 @@ def test_adm_sigma_head_matches_torch(reference_path):
                       jnp.asarray(np.transpose(feat, (0, 2, 3, 1))))
     np.testing.assert_allclose(np.asarray(ours).reshape(-1), ref.reshape(-1),
                                atol=3e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_superres_matches_torch(reference_path):
+    """Golden: SuperResModel (low-res conditioned UNet) vs torch, including
+    the bilinear upsample semantics (align_corners=False)."""
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    from tests.test_engine import _stub_missing_reference_deps
+    _stub_missing_reference_deps()
+    from src.unet_adm import SuperResModel as TorchSR
+    from nlc_tpu.models.adm_unet import SuperResADMUNet, ADMUNetConfig
+    from nlc_tpu.io.adm_convert import convert_adm_unet
+
+    torch.manual_seed(0)
+    tm = TorchSR(image_size=16, in_channels=3, model_channels=32,
+                 out_channels=3, num_res_blocks=1, attention_resolutions=(2,),
+                 channel_mult=(1, 2), num_head_channels=16,
+                 use_scale_shift_norm=True, resblock_updown=True).eval()
+    cfg = ADMUNetConfig(image_size=16, in_channels=6, model_channels=32,
+                        out_channels=3, num_res_blocks=1,
+                        attention_resolutions=(2,), channel_mult=(1, 2),
+                        num_head_channels=16, use_scale_shift_norm=True,
+                        resblock_updown=True)
+    net = SuperResADMUNet(cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params = {"params": {"unet": convert_adm_unet(sd, cfg)}}
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    lr = rng.randn(2, 3, 4, 4).astype(np.float32)
+    ts = np.array([3.0, 700.0], np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x), torch.from_numpy(ts),
+                 low_res=torch.from_numpy(lr)).numpy()
+    got = net.apply(params, jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                    jnp.asarray(ts), jnp.asarray(np.transpose(lr, (0, 2, 3, 1))))
+    np.testing.assert_allclose(np.transpose(np.asarray(got), (0, 3, 1, 2)),
+                               ref, atol=2e-4, rtol=1e-3)
