@@ -66,54 +66,14 @@ def test_nafnet_matches_torch(reference_path):
                   enc_blk_nums=[1, 1], dec_blk_nums=[1, 1]).eval()
     net = NAFNet(width=8, middle_blk_num=1, enc_blk_nums=(1, 1),
                  dec_blk_nums=(1, 1))
-    # convert weights
+    from nlc_tpu.restoration import convert_nafnet
     sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
-
-    def conv(p):
-        return {"kernel": np.transpose(sd[f"{p}.weight"], (2, 3, 1, 0)),
-                **({"bias": sd[f"{p}.bias"]} if f"{p}.bias" in sd else {})}
-
-    def ln(p):
-        # BasicSR LayerNorm2d stores weight/bias
-        return {"scale": sd[f"{p}.weight"].reshape(-1),
-                "bias": sd[f"{p}.bias"].reshape(-1)}
-
-    def nafblock(p):
-        return {
-            "norm1": ln(f"{p}.norm1"), "conv1": conv(f"{p}.conv1"),
-            "conv2": conv(f"{p}.conv2"), "sca_conv": conv(f"{p}.sca.1"),
-            "conv3": conv(f"{p}.conv3"), "norm2": ln(f"{p}.norm2"),
-            "conv4": conv(f"{p}.conv4"), "conv5": conv(f"{p}.conv5"),
-            "beta": np.transpose(sd[f"{p}.beta"], (0, 2, 3, 1)),
-            "gamma": np.transpose(sd[f"{p}.gamma"], (0, 2, 3, 1)),
-        }
-
-    params = {"intro": conv("intro"), "ending": conv("ending")}
-    for i in range(2):
-        params[f"enc_{i}_0"] = nafblock(f"encoders.{i}.0")
-        params[f"down_{i}"] = conv(f"downs.{i}")
-        params[f"up_{i}"] = {"kernel": np.transpose(sd[f"ups.{i}.0.weight"],
-                                                    (2, 3, 1, 0))}
-        params[f"dec_{i}_0"] = nafblock(f"decoders.{i}.0")
-    params["middle_0"] = nafblock("middle_blks.0")
+    params = convert_nafnet(sd, enc_blk_nums=[1, 1], dec_blk_nums=[1, 1],
+                            middle_blk_num=1)
 
     x = np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32)
     with torch.no_grad():
         ref = tm(torch.from_numpy(x)).numpy()
-    out = net.apply({"params": params},
-                    jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-    got = np.transpose(np.asarray(out), (0, 3, 1, 2))
-    # torch PixelShuffle packs (C, r, r) channel-major; our depth_to_space
-    # packs (r, r, C): permute the up conv kernels to compensate
-    def fix_up(p, cin):
-        w = sd[f"ups.{p}.0.weight"]  # (C*4, Cin, 1, 1)
-        cout = w.shape[0] // 4
-        w2 = w.reshape(cout, 2, 2, cin, 1, 1).transpose(1, 2, 0, 3, 4, 5) \
-            .reshape(cout * 4, cin, 1, 1)
-        return {"kernel": np.transpose(w2, (2, 3, 1, 0))}
-
-    params["up_0"] = fix_up(0, sd["ups.0.0.weight"].shape[1])
-    params["up_1"] = fix_up(1, sd["ups.1.0.weight"].shape[1])
     out = net.apply({"params": params},
                     jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
     got = np.transpose(np.asarray(out), (0, 3, 1, 2))
