@@ -106,6 +106,18 @@ def get_eval_dataset(name: str, data_dir: Optional[str], image_size: int,
         idx = test_idx if split == "test" else train_idx
         return ImageFolderDataset(data_dir, image_size,
                                   files=[full.files[i] for i in idx])
+    if name == "CIFAR10":
+        # reference quirk (datasets/__init__.py:195-215): the CIFAR10 branch
+        # actually reads an IMAGE FOLDER (constraints/celeba_hq) and takes all
+        # items in seeded-2019 shuffled order (split fraction 0.0) — mirror
+        # that on whatever folder is passed
+        full = ImageFolderDataset(data_dir, image_size)
+        rs = np.random.get_state()
+        np.random.seed(2019)
+        idx = np.random.permutation(len(full))
+        np.random.set_state(rs)
+        return ImageFolderDataset(data_dir, image_size,
+                                  files=[full.files[i] for i in idx])
     if name == "IMAGENET":
         files = None
         if subset_file and os.path.exists(subset_file):

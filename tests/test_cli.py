@@ -163,3 +163,26 @@ def test_convert_checkpoint_cli(store, tmp_path):
         conv_main(["--family", "nlc", "--load_eps", "nope", "--dst", "x"])
     with pytest.raises(SystemExit):
         conv_main(["--family", "nlc", "--dst", "x"])
+
+
+def test_cifar10_eval_dataset_order(tmp_path):
+    """CIFAR10 branch mirrors the reference: all items in seeded-2019
+    shuffled order (reference datasets/__init__.py:195-215 uses split
+    fraction 0.0, i.e. the whole shuffled set)."""
+    from PIL import Image
+    from nlc_tpu.data import get_eval_dataset
+    import os
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(10):
+        Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)).save(
+            d / f"{i:03}.png")
+    ds = get_eval_dataset("CIFAR10", image_size=8, data_dir=str(d))
+    idx = list(range(10))
+    rs = np.random.get_state()
+    np.random.seed(2019)
+    np.random.shuffle(idx)
+    np.random.set_state(rs)
+    assert [os.path.basename(f) for f in ds.files] == \
+        [f"{i:03}.png" for i in idx]
