@@ -174,6 +174,8 @@ def build(args, config):
         encode=lambda p, z, t: model.apply(p, z, t, method=SongUNet.encode),
         sigma=lambda v, f: head.apply(v, f),
         precond=EDMPrecond(sigma_data=args.sigma_data),
+        forward_and_encode=lambda p, z, t: model.apply(
+            p, z, t, method=SongUNet.forward_and_encode),
     )
     return bundle, params, svars, ucfg
 

@@ -34,11 +34,14 @@ from ..utils.rng import per_sample_step_noise
 
 @dataclass(frozen=True)
 class EDMModelBundle:
-    """forward/encode of the raw F-theta net; precond wraps them."""
+    """forward/encode of the raw F-theta net; precond wraps them.
+    forward_and_encode (one fused pass returning (F_x, feat)) additionally
+    enables the 'pred_fast' sub-step style."""
     forward: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
     encode: Callable[[Any, jnp.ndarray, jnp.ndarray], jnp.ndarray]
     sigma: Callable[[Any, jnp.ndarray], jnp.ndarray]
     precond: EDMPrecond = EDMPrecond()
+    forward_and_encode: Optional[Callable] = None
 
 
 @dataclass(frozen=True)
@@ -85,6 +88,22 @@ def _denoise_vector(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars
         min_dist = jnp.clip(norm_x - cfg.norm_max, a_min=0.0)
         max_dist = norm_x + cfg.norm_min
         sigma_t = jnp.clip(sigma_t, min_dist, max_dist)
+
+    if style == "pred_fast":
+        # fused extension: one forward_and_encode pass denoises at the
+        # (refined) sigma AND feeds the sigma head; only the step-size sigma
+        # is corrected. With refine_prior_sigma off this is mathematically
+        # identical to 'pred_sigma' at half the encoder FLOPs.
+        assert bundle.forward_and_encode is not None, \
+            "pred_fast needs bundle.forward_and_encode"
+        denoised, feat = bundle.precond.forward_and_encode(
+            lambda z, t: bundle.forward_and_encode(params, z, t),
+            x, sigma_t.reshape(-1))
+        residual = bundle.sigma(svars, feat)
+        eps = (x - denoised) / sigma_t
+        if norm_eps:
+            eps = normalize(eps, int(dim))
+        return eps, denoised, sigma_t * (1.0 + residual), sigma_prev
 
     if "pred" in style:
         feat = bundle.precond.encode(

@@ -416,10 +416,7 @@ class SongUNet(nn.Module):
                 skips.append(x)
         return x, skips
 
-    def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
-                 deterministic: bool = True):
-        emb = self._mapping(noise_labels, class_labels, augment_labels, deterministic)
-        x, skips = self._encode_stage(x, emb, deterministic)
+    def _decode_stage(self, x, skips, emb, deterministic):
         aux = None
         tmp = None
         for name, kind, needs_cat, layer in self.dec_layers:
@@ -436,12 +433,27 @@ class SongUNet(nn.Module):
                 x = layer(x, emb, deterministic)
         return aux.astype(jnp.float32)
 
+    def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
+                 deterministic: bool = True):
+        emb = self._mapping(noise_labels, class_labels, augment_labels, deterministic)
+        x, skips = self._encode_stage(x, emb, deterministic)
+        return self._decode_stage(x, skips, emb, deterministic)
+
     def encode(self, x, noise_labels, class_labels=None, augment_labels=None,
                deterministic: bool = True):
         """Encoder-bottom feature for the sigma head (reference :880-909)."""
         emb = self._mapping(noise_labels, class_labels, augment_labels, deterministic)
         x, _ = self._encode_stage(x, emb, deterministic)
         return x
+
+    def forward_and_encode(self, x, noise_labels, class_labels=None,
+                           augment_labels=None, deterministic: bool = True):
+        """One fused pass: (output, encoder-bottom feature). The encoder runs
+        once and feeds both the decoder and the sigma head — the fused
+        counterpart of separate __call__ + encode calls."""
+        emb = self._mapping(noise_labels, class_labels, augment_labels, deterministic)
+        h, skips = self._encode_stage(x, emb, deterministic)
+        return self._decode_stage(h, skips, emb, deterministic), h
 
 
 @dataclass(frozen=True)
@@ -567,21 +579,31 @@ class DhariwalUNet(nn.Module):
             skips.append(x)
         return x, skips
 
-    def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
-                 deterministic: bool = True):
-        emb = self._mapping(noise_labels, class_labels, augment_labels)
-        x, skips = self._encode_stage(x, emb, deterministic)
+    def _decode_stage(self, x, skips, emb, deterministic):
         for name, kind, needs_cat, layer in self.dec_layers:
             if needs_cat:
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
             x = layer(x, emb, deterministic)
         return self.out_conv(swish(self.out_norm(x))).astype(jnp.float32)
 
+    def __call__(self, x, noise_labels, class_labels=None, augment_labels=None,
+                 deterministic: bool = True):
+        emb = self._mapping(noise_labels, class_labels, augment_labels)
+        x, skips = self._encode_stage(x, emb, deterministic)
+        return self._decode_stage(x, skips, emb, deterministic)
+
     def encode(self, x, noise_labels, class_labels=None, augment_labels=None,
                deterministic: bool = True):
         emb = self._mapping(noise_labels, class_labels, augment_labels)
         x, _ = self._encode_stage(x, emb, deterministic)
         return x
+
+    def forward_and_encode(self, x, noise_labels, class_labels=None,
+                           augment_labels=None, deterministic: bool = True):
+        """One fused pass: (output, encoder-bottom feature)."""
+        emb = self._mapping(noise_labels, class_labels, augment_labels)
+        h, skips = self._encode_stage(x, emb, deterministic)
+        return self._decode_stage(h, skips, emb, deterministic), h
 
 
 # --------------------------------------------------------------------------
@@ -613,6 +635,14 @@ class EDMPrecond:
         sigma = jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1, 1)
         _, _, c_in, c_noise = self.coeffs(sigma)
         return encode_fn(c_in * x, c_noise.reshape(-1), **kw)
+
+    def forward_and_encode(self, fused_fn, x, sigma, **kw):
+        """Preconditioned fused pass: fused_fn returns (F_x, feat); the
+        denoised output and the raw encoder feature come from one UNet run."""
+        sigma = jnp.asarray(sigma, jnp.float32).reshape(-1, 1, 1, 1)
+        c_skip, c_out, c_in, c_noise = self.coeffs(sigma)
+        F_x, feat = fused_fn(c_in * x, c_noise.reshape(-1), **kw)
+        return c_skip * x + c_out * F_x.astype(jnp.float32), feat
 
 
 @dataclass(frozen=True)

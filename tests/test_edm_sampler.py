@@ -126,3 +126,45 @@ def test_edm_sampler_matches_torch(reference_path, style, norm_eps, refine, eps_
     tol = dict(atol=5e-3, rtol=5e-3) if "pred" not in style else \
         dict(atol=1e-2, rtol=4e-2)
     np.testing.assert_allclose(out_nchw, ref, err_msg=f"{style}/{norm_eps}", **tol)
+
+
+def test_edm_pred_fast_equals_pred_sigma():
+    """'pred_fast' (one fused pass) must be bit-identical to 'pred_sigma'
+    (encode + forward) when refine_prior_sigma is off — the fusion changes
+    FLOPs, not math. With a random head it must still run finite."""
+    import jax
+    from nlc_tpu.engine.edm import (EDMModelBundle, EDMSamplerConfig,
+                                    edm_sampler)
+    from nlc_tpu.models.song_unet import (SongUNet, SongUNetConfig,
+                                          EDMSigmaHead, EDMPrecond)
+
+    cfg = SongUNetConfig(img_resolution=16, in_channels=3, out_channels=3,
+                         model_channels=16, channel_mult=(1, 2), num_blocks=1,
+                         attn_resolutions=(8,), dropout=0.0)
+    model = SongUNet(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                        jnp.zeros((1,)))
+    d, _, ch = cfg.feat_shape if hasattr(cfg, "feat_shape") else (4, 4, 32)
+    head = EDMSigmaHead(dim=d, channels=ch, n_blocks=1)
+    feat_shape = (d, d, ch)
+    svars = head.init(jax.random.PRNGKey(1), jnp.zeros((1,) + feat_shape))
+
+    bundle = EDMModelBundle(
+        forward=lambda p, z, t: model.apply(p, z, t),
+        encode=lambda p, z, t: model.apply(p, z, t, method=SongUNet.encode),
+        sigma=lambda v, f: head.apply(v, f),
+        precond=EDMPrecond(),
+        forward_and_encode=lambda p, z, t: model.apply(
+            p, z, t, method=SongUNet.forward_and_encode),
+    )
+    seeds = jnp.arange(2)
+    outs = {}
+    for style in ["pred_sigma,pred_sigma", "pred_fast,pred_fast", "base,base"]:
+        scfg = EDMSamplerConfig(num_steps=4, style=style,
+                                refine_prior_sigma=False)
+        outs[style] = np.asarray(edm_sampler(bundle, scfg, params, svars,
+                                             seeds, (16, 16, 3)))
+        assert np.isfinite(outs[style]).all(), style
+    np.testing.assert_allclose(outs["pred_fast,pred_fast"],
+                               outs["pred_sigma,pred_sigma"], atol=1e-6)
+    assert not np.allclose(outs["pred_fast,pred_fast"], outs["base,base"])
