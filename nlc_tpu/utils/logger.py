@@ -106,6 +106,83 @@ class CSVOutputFormat(KVWriter):
         self.file.close()
 
 
+# ---- TensorBoard event files, dependency-free --------------------------
+# The reference logger's TensorBoardOutputFormat (src/logger.py:160-189) uses
+# tensorflow to write event files; neither tensorflow nor tensorboard is in
+# this image, so the Event proto (wall_time/step/summary{tag, simple_value})
+# and TFRecord framing (length + masked crc32c) are encoded by hand.
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        poly = 0x82F63B78
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = _crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _tb_event(wall_time: float, step: int, kvs: Dict[str, float]) -> bytes:
+    import struct
+    values = b""
+    for tag, val in kvs.items():
+        t = tag.encode()
+        v = (b"\x0a" + _varint(len(t)) + t
+             + b"\x15" + struct.pack("<f", float(val)))
+        values += b"\x0a" + _varint(len(v)) + v
+    event = (b"\x09" + struct.pack("<d", wall_time)
+             + b"\x10" + _varint(step)
+             + b"\x2a" + _varint(len(values)) + values)
+    header = struct.pack("<Q", len(event))
+    return (header + struct.pack("<I", _masked_crc(header))
+            + event + struct.pack("<I", _masked_crc(event)))
+
+
+class TensorBoardOutputFormat(KVWriter):
+    """Scalar-only event-file writer readable by TensorBoard/XProf."""
+
+    def __init__(self, ev_dir: str):
+        os.makedirs(ev_dir, exist_ok=True)
+        path = os.path.join(ev_dir, f"events.out.tfevents.{int(time.time())}.nlc")
+        self.file = open(path, "ab")
+        self.step = 0
+
+    def writekvs(self, kvs):
+        scalars = {k: float(v) for k, v in kvs.items()
+                   if isinstance(v, (int, float)) and not isinstance(v, bool)}
+        self.step = int(scalars.pop("epoch", scalars.pop("step", self.step + 1)))
+        self.file.write(_tb_event(time.time(), self.step, scalars))
+        self.file.flush()
+
+    def close(self):
+        self.file.close()
+
+
 def make_output_format(fmt: str, ev_dir: str, suffix: str = "") -> KVWriter:
     os.makedirs(ev_dir, exist_ok=True)
     if fmt == "stdout":
@@ -116,6 +193,8 @@ def make_output_format(fmt: str, ev_dir: str, suffix: str = "") -> KVWriter:
         return JSONOutputFormat(os.path.join(ev_dir, f"progress{suffix}.json"))
     if fmt == "csv":
         return CSVOutputFormat(os.path.join(ev_dir, f"progress{suffix}.csv"))
+    if fmt == "tensorboard":
+        return TensorBoardOutputFormat(os.path.join(ev_dir, f"tb{suffix}"))
     raise ValueError(f"unknown format {fmt!r}")
 
 

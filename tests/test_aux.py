@@ -328,3 +328,70 @@ def test_classifier_matches_torch(reference_path):
                         jnp.asarray(ts))
         np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-3,
                                    err_msg=pool)
+
+
+def test_tensorboard_writer_records_parse():
+    """The hand-rolled TB event writer produces valid TFRecord framing
+    (masked crc32c verifies) and decodable Event protos."""
+    import glob, os, struct, tempfile
+    from nlc_tpu.utils.logger import (TensorBoardOutputFormat, _masked_crc,
+                                      _varint)
+    d = tempfile.mkdtemp()
+    w = TensorBoardOutputFormat(d)
+    w.writekvs({"loss": 0.5, "fid": 12.25, "epoch": 3, "name": "skip-me"})
+    w.writekvs({"loss": 0.25, "epoch": 4})
+    w.close()
+    path = glob.glob(os.path.join(d, "events.out.tfevents.*"))[0]
+    blob = open(path, "rb").read()
+
+    events = []
+    off = 0
+    while off < len(blob):
+        hdr = blob[off:off + 8]
+        assert struct.unpack("<I", blob[off + 8:off + 12])[0] == _masked_crc(hdr)
+        n = struct.unpack("<Q", hdr)[0]
+        data = blob[off + 12:off + 12 + n]
+        assert struct.unpack("<I", blob[off + 12 + n:off + 16 + n])[0] == \
+            _masked_crc(data)
+        events.append(data)
+        off += 16 + n
+
+    assert len(events) == 2
+
+    def read_varint(b, i):
+        v, shift = 0, 0
+        while True:
+            v |= (b[i] & 0x7F) << shift
+            i += 1
+            if not b[i - 1] & 0x80:
+                return v, i
+            shift += 7
+
+    # decode event 1: field 2 (step) and the summary tags/values
+    data = events[0]
+    i = 0
+    step = None
+    tags = {}
+    while i < len(data):
+        key = data[i]
+        i += 1
+        if key == 0x09:      # wall_time double
+            i += 8
+        elif key == 0x10:    # step varint
+            step, i = read_varint(data, i)
+        elif key == 0x2A:    # summary
+            n, i = read_varint(data, i)
+            end = i + n
+            while i < end:
+                assert data[i] == 0x0A
+                vn, j = read_varint(data, i + 1)
+                v = data[j:j + vn]
+                tn, k = read_varint(v, 1)
+                tag = v[k:k + tn].decode()
+                val = struct.unpack("<f", v[k + tn + 1:k + tn + 5])[0]
+                tags[tag] = val
+                i = j + vn
+        else:
+            raise AssertionError(f"unexpected key {key:#x}")
+    assert step == 3
+    assert tags == {"loss": 0.5, "fid": 12.25}
