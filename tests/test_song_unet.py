@@ -177,3 +177,35 @@ def test_precond_coefficient_identities():
     assert ip.u[0] > ip.u[-2]
     idx = ip.round_sigma(jnp.asarray([float(ip.u[7])]), return_index=True)
     assert int(idx[0]) == 7
+
+
+def test_forward_and_encode_consistency():
+    """Fused pass returns exactly (__call__, encode) for both EDM UNets."""
+    import jax
+    from nlc_tpu.models.song_unet import (SongUNet, SongUNetConfig,
+                                          DhariwalUNet, DhariwalUNetConfig)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.asarray([0.3, 0.9])
+
+    song = SongUNet(SongUNetConfig(img_resolution=16, in_channels=3,
+                                   out_channels=3, model_channels=16,
+                                   channel_mult=(1, 2), num_blocks=1,
+                                   attn_resolutions=(8,), dropout=0.0))
+    p = song.init(jax.random.PRNGKey(0), x, t)
+    out, feat = song.apply(p, x, t, method=SongUNet.forward_and_encode)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(song.apply(p, x, t)))
+    np.testing.assert_array_equal(
+        np.asarray(feat), np.asarray(song.apply(p, x, t,
+                                                method=SongUNet.encode)))
+
+    dh = DhariwalUNet(DhariwalUNetConfig(img_resolution=16, in_channels=3,
+                                         out_channels=3, model_channels=16,
+                                         channel_mult=(1, 2), num_blocks=1,
+                                         attn_resolutions=(8,)))
+    p = dh.init(jax.random.PRNGKey(0), x, t)
+    out, feat = dh.apply(p, x, t, method=DhariwalUNet.forward_and_encode)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(dh.apply(p, x, t)))
+    np.testing.assert_array_equal(
+        np.asarray(feat), np.asarray(dh.apply(p, x, t,
+                                              method=DhariwalUNet.encode)))
