@@ -48,6 +48,10 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int)]
+        lib.nlc_save_batch.restype = ctypes.c_int
+        lib.nlc_save_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int]
         _lib = lib
     except Exception:
         _lib = None
@@ -75,3 +79,21 @@ def load_batch(paths: Sequence[str], resolution: int, random_crop: bool = False,
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return out, ok.astype(bool)
+
+
+def save_batch_png(images_u8: np.ndarray, paths: Sequence[str],
+                   num_threads: Optional[int] = None) -> int:
+    """Write (N, H, W, 3) uint8 images to PNG paths on the C++ thread pool.
+    Returns how many were written. Caller falls back to PIL when the native
+    library is unavailable."""
+    lib = _load()
+    assert lib is not None, "native writer unavailable"
+    images_u8 = np.ascontiguousarray(images_u8, np.uint8)
+    n, h, w, c = images_u8.shape
+    assert c == 3
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if num_threads is None:
+        num_threads = min(os.cpu_count() or 1, 16)
+    return lib.nlc_save_batch(
+        images_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, arr, num_threads)

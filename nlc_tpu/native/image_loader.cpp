@@ -222,4 +222,52 @@ int nlc_load_batch(const char** paths, int n, int resolution, int random_crop,
     return ok;
 }
 
+// Encode a batch of (N, H, W, 3) uint8 images to PNG files in parallel.
+// Returns the number successfully written.
+int nlc_save_batch(const uint8_t* data, int n, int h, int w,
+                   const char** paths, int num_threads) {
+    if (num_threads < 1) num_threads = 1;
+    std::atomic<int> next(0);
+    std::atomic<int> ok(0);
+    auto worker = [&]() {
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n) break;
+            FILE* fp = fopen(paths[i], "wb");
+            if (!fp) continue;
+            png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING,
+                                                      nullptr, nullptr, nullptr);
+            png_infop info = png_create_info_struct(png);
+            if (setjmp(png_jmpbuf(png))) {
+                png_destroy_write_struct(&png, &info);
+                fclose(fp);
+                continue;
+            }
+            png_init_io(png, fp);
+            // speed over ratio: eval dumps are throughput-bound; level 1 +
+            // no filtering is ~4x faster than the zlib-6 default and the
+            // pixels are identical on readback
+            png_set_compression_level(png, 1);
+            png_set_filter(png, 0, PNG_FILTER_NONE);
+            png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB,
+                         PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                         PNG_FILTER_TYPE_DEFAULT);
+            png_write_info(png, info);
+            const uint8_t* base = data + (size_t)i * h * w * 3;
+            for (int y = 0; y < h; y++)
+                png_write_row(png, const_cast<png_bytep>(
+                    base + (size_t)y * w * 3));
+            png_write_end(png, nullptr);
+            png_destroy_write_struct(&png, &info);
+            fclose(fp);
+            ok.fetch_add(1);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads - 1; t++) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    return ok.load();
+}
+
 }  // extern "C"

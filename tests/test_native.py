@@ -69,3 +69,17 @@ def test_dynamic_loss_scale():
     np.testing.assert_array_equal(np.asarray(out["w"]), 0.0)
     out = apply_updates_if_finite(params, {"w": jnp.ones(3)}, jnp.asarray(True))
     np.testing.assert_array_equal(np.asarray(out["w"]), 1.0)
+
+
+def test_native_png_writer_roundtrip(tmp_path):
+    from nlc_tpu.native import native_available, save_batch_png
+    if not native_available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    imgs = (rng.rand(3, 17, 23, 3) * 255).astype(np.uint8)
+    paths = [str(tmp_path / f"{i}.png") for i in range(3)]
+    assert save_batch_png(imgs, paths) == 3
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), imgs[i])
