@@ -247,16 +247,31 @@ def evaluate_unconstraint(args, sampler, run_fn, images_dir, data_shape, fid):
     log_dict = {}
     return_lists = []
     res_pkl_path = os.path.join(args.test_dir, args.save_flag, "results_dump.pkl")
-    for i in range(n_batches):
-        if batch_exists(images_dir, i, args.batch_size) and not args.sample_overwrite:
-            logger.log(f"skip batch {i}")
+    # pipelined: dispatch batch i+1 before materializing/saving batch i, so
+    # host-side PNG encoding overlaps device compute (jax dispatch is async)
+    pending = None     # (index, device sample, logs)
+    todo = [i for i in range(n_batches)
+            if args.sample_overwrite
+            or not batch_exists(images_dir, i, args.batch_size)]
+    for skipped in sorted(set(range(n_batches)) - set(todo)):
+        logger.log(f"skip batch {skipped}")
+    for pos, i in enumerate(todo + [None]):
+        if i is not None:
+            seeds = jnp.arange(i * args.batch_size, (i + 1) * args.batch_size)
+            xT = init_noise(sampler, seeds, data_shape,
+                            bool(args.norm_init_noise))
+            t1 = time.time()
+            with logger.profile_kv("sample"):
+                sample, logs = run_fn(xT, seeds)
+            nxt = (i, sample, logs, t1)
+        else:
+            nxt = None
+        if pending is None:
+            pending = nxt
             continue
-        seeds = jnp.arange(i * args.batch_size, (i + 1) * args.batch_size)
-        xT = init_noise(sampler, seeds, data_shape, bool(args.norm_init_noise))
-        t1 = time.time()
-        with logger.profile_kv("sample"):
-            sample, logs = run_fn(xT, seeds)
-            sample.block_until_ready()
+        i, sample, logs, t1 = pending
+        pending = nxt
+        sample.block_until_ready()
         logger.log(f"batch {i}/{n_batches} time: {time.time()-t1:.2f}s")
         save_batch(np.asarray(sample), images_dir, i)
         if args.return_log and logs:
@@ -282,6 +297,31 @@ def evaluate_constraint(args, config, sampler, make_run_fn, images_dir,
     mse_l, psnr_l, ssim_l, cf_l, cb_l, co_l = [], [], [], [], [], []
     n_batches = math.ceil(min(len(ds), args.sample_size) / args.batch_size)
     run_fn = make_run_fn(cf)   # jitted once; y is a traced argument
+    def _finish(i, x01, batch_x, y, sample, t1):
+        """Host-side post-processing for one completed batch (PNG writes +
+        PSNR/SSIM/constraint metrics)."""
+        sample.block_until_ready()
+        logger.log(f"batch {i}/{n_batches} time: {time.time()-t1:.2f}s")
+        sample01 = np.asarray(from_minus1_1(np.asarray(sample)))
+        save_batch(np.asarray(sample), images_dir, i)
+        mse = np.mean((sample01 - x01) ** 2, axis=(1, 2, 3))
+        psnr = 10 * np.log10(1.0 / np.maximum(mse, 1e-12))
+        ssim = [calculate_ssim(np.round(sample01[j] * 255).astype(np.uint8),
+                               np.round(x01[j] * 255).astype(np.uint8),
+                               crop_border=0) for j in range(len(x01))]
+        x_hat = jnp.asarray(2 * sample01 - 1.0)
+        cfv, cbv = cf.loss(x_hat, y)
+        co = np.abs(np.asarray(x_hat) - np.asarray(batch_x)).reshape(len(x01), -1).sum(1)
+        mse_l.extend(mse.tolist()); psnr_l.extend(psnr.tolist())
+        ssim_l.extend(ssim)
+        cf_l.extend(np.asarray(cfv).tolist()); cb_l.extend(np.asarray(cbv).tolist())
+        co_l.extend(co.tolist())
+        logger.log(f"done {i}/{n_batches} psnr={np.mean(psnr_l):.3f} "
+                   f"ssim={np.mean(ssim_l):.4f} const={np.mean(cf_l):.3f}")
+
+    # pipelined like evaluate_unconstraint: the next batch is dispatched
+    # before the current one's host metrics/PNG writes run
+    pending = None
     for i, (x01, _) in enumerate(loader):
         if i * args.batch_size >= args.sample_size:
             break
@@ -306,23 +346,11 @@ def evaluate_constraint(args, config, sampler, make_run_fn, images_dir,
                             bool(args.norm_init_noise))
         t1 = time.time()
         sample, _ = run_fn(xT, seeds, y)
-        sample.block_until_ready()
-        logger.log(f"batch {i}/{n_batches} time: {time.time()-t1:.2f}s")
-        sample01 = np.asarray(from_minus1_1(np.asarray(sample)))
-        save_batch(np.asarray(sample), images_dir, i)
-        mse = np.mean((sample01 - x01) ** 2, axis=(1, 2, 3))
-        psnr = 10 * np.log10(1.0 / np.maximum(mse, 1e-12))
-        ssim = [calculate_ssim(np.round(sample01[j] * 255).astype(np.uint8),
-                               np.round(x01[j] * 255).astype(np.uint8),
-                               crop_border=0) for j in range(len(x01))]
-        x_hat = jnp.asarray(2 * sample01 - 1.0)
-        cfv, cbv = cf.loss(x_hat, y)
-        co = np.abs(np.asarray(x_hat) - np.asarray(batch_x)).reshape(len(x01), -1).sum(1)
-        mse_l += mse.tolist(); psnr_l += psnr.tolist(); ssim_l += ssim
-        cf_l += np.asarray(cfv).tolist(); cb_l += np.asarray(cbv).tolist()
-        co_l += co.tolist()
-        logger.log(f"done {i}/{n_batches} psnr={np.mean(psnr_l):.3f} "
-                   f"ssim={np.mean(ssim_l):.4f} const={np.mean(cf_l):.3f}")
+        if pending is not None:
+            _finish(*pending)
+        pending = (i, x01, batch_x, y, sample, t1)
+    if pending is not None:
+        _finish(*pending)
     log_dict = {"mse": float(np.mean(mse_l)), "psner": float(np.mean(psnr_l)),
                 "ssim": float(np.mean(ssim_l)),
                 "const_f_loss": float(np.mean(cf_l)),
