@@ -219,17 +219,30 @@ def main(args, config):
     images_dir = os.path.join(args.test_dir, args.save_flag, "images")
     os.makedirs(images_dir, exist_ok=True)
     n_batches = math.ceil(args.sample_size / args.batch_size)
-    for i in range(n_batches):
-        if batch_exists(images_dir, i, args.batch_size) and not args.sample_overwrite:
-            logger.log(f"skip batch {i}")
-            continue
-        # per-sample seeds = global sample indices (StackedRandomGenerator parity)
-        seeds = jnp.arange(i * args.batch_size, (i + 1) * args.batch_size)
-        t1 = time.time()
-        sample = sample_fn(params, svars, seeds)
+    # pipelined: PNG writes of batch i overlap device compute of batch i+1
+    pending = None
+    for i in range(n_batches + 1):
+        nxt = None
+        if i < n_batches:
+            if batch_exists(images_dir, i, args.batch_size) \
+                    and not args.sample_overwrite:
+                logger.log(f"skip batch {i}")
+                continue
+            # per-sample seeds = global sample indices
+            # (StackedRandomGenerator parity)
+            seeds = jnp.arange(i * args.batch_size, (i + 1) * args.batch_size)
+            nxt = (i, sample_fn(params, svars, seeds), time.time())
+        if pending is not None:
+            j, sample, t1 = pending
+            sample.block_until_ready()
+            logger.log(f"done batches:{j}/{n_batches} time {time.time()-t1:.2f}s")
+            save_batch(np.asarray(sample), images_dir, j)
+        pending = nxt
+    if pending is not None:
+        j, sample, t1 = pending
         sample.block_until_ready()
-        logger.log(f"done batches:{i}/{n_batches} time {time.time()-t1:.2f}s")
-        save_batch(np.asarray(sample), images_dir, i)
+        logger.log(f"done batches:{j}/{n_batches} time {time.time()-t1:.2f}s")
+        save_batch(np.asarray(sample), images_dir, j)
 
     log_dict = {}
     if fid is not None:
