@@ -60,8 +60,17 @@ def gray2color(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def simple_constraint(fn: str, fn_scale: float = 4, image_size: int = 256,
-                      mask: Optional[np.ndarray] = None):
+                      mask: Optional[np.ndarray] = None, seed: int = 0):
     """(A, Ap) NHWC closures for the 'simple' projection mode."""
+    if fn.startswith("inpainting"):
+        if mask is None and fn == "inpainting_random":
+            # same seeded missing set as the SVD Inpainting operator builds
+            rng = np.random.RandomState(seed)
+            missing = rng.permutation(image_size ** 2)[: image_size ** 2 // 2]
+            m = np.ones(image_size * image_size, np.float32)
+            m[missing] = 0.0
+            mask = m.reshape(image_size, image_size)
+        fn = "inpainting"
     if fn == "colorization":
         return color2gray, gray2color
     if fn == "denoising":
@@ -272,7 +281,8 @@ def get_constraint_function(constraint: str, constraint_proj: str,
         cf.Ap_simple = lambda x: x
         return cf
     if "simple" in proj:
-        A, Ap = simple_constraint(constraint, fn_scale, image_size, mask=mask)
+        A, Ap = simple_constraint(constraint, fn_scale, image_size, mask=mask,
+                                  seed=seed)
         cf.A_simple, cf.Ap_simple = A, Ap
     if "svd" in proj or proj == "svd_gd" or "gd" in proj and "svd" in constraint_proj:
         cf.op = svd_constraint(constraint, fn_scale, image_size, channels,

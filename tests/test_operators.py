@@ -235,3 +235,19 @@ def test_gd_projection_reduces_loss():
     proj = cf.make_constrain_fn(y)(x0)
     after = float(cf.const_loss(cf.transform(proj), y).mean())
     assert after < before
+
+
+def test_simple_constraint_random_inpainting_matches_svd_mask():
+    """'inpainting_random' in simple-projection mode synthesizes the same
+    seeded missing set the SVD Inpainting operator uses."""
+    from nlc_tpu.operators.constraints import (simple_constraint,
+                                               svd_constraint, flatten_chw)
+    D = 8
+    A, Ap = simple_constraint("inpainting_random", image_size=D, seed=3)
+    op = svd_constraint("inpainting_random", image_size=D, channels=3, seed=3)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, D, D, 3), jnp.float32)
+    kept_simple = np.asarray(A(x))          # zeroed at missing pixels
+    # rebuild the svd mask from its measurement: A keeps only surviving pixels
+    y = op.A(flatten_chw(x))
+    apy = np.asarray(op.A_pinv(y)).reshape(2, 3, D, D).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(kept_simple, apy, atol=1e-5)
