@@ -21,7 +21,7 @@ from ..data.edm_dataset import EDMImageDataset, SyntheticEDMDataset, infinite_ba
 from ..io.checkpoints import load_pytree
 from ..models.song_unet import (SongUNet, SongUNetConfig, DhariwalUNet,
                                 DhariwalUNetConfig, EDMPrecond, VPPrecond, VEPrecond)
-from ..train.augment import AugmentConfig, EDM_CIFAR_AUGMENT
+from ..train.augment import AugmentConfig
 from ..train.edm_training import (LOSSES, EDMLoopConfig, create_edm_train_state,
                                   make_edm_train_step, edm_training_loop)
 from ..utils import logger

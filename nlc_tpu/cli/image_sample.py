@@ -32,10 +32,10 @@ import jax.numpy as jnp
 from ..configs import apply_method_preset, apply_dataset_defaults
 from ..configs.config import get_config, dump_args, load_args
 from ..data import get_eval_dataset, batch_iterator
-from ..engine import (DenoiseConfig, ModelBundle, build_denoise_fn,
-                      build_projection_fn, init_noise)
+from ..engine import (DenoiseConfig, ModelBundle,
+                      init_noise)
 from ..engine.loops import set_norm_maxmin
-from ..eval import calculate_ssim, calculate_psnr, FIDComputer
+from ..eval import calculate_ssim, FIDComputer
 from ..io.adm_convert import convert_adm_unet, convert_adm_sigma_head
 from ..io.torch_convert import (load_torch_state_dict, convert_ddim_unet,
                                 convert_sigma_head)

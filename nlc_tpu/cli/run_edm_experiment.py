@@ -24,7 +24,6 @@ from ..engine.loops import set_norm_maxmin
 from ..eval.fid import FIDComputer
 from ..io.edm_convert import convert_song_unet
 from ..io.edm_pickle import load_edm_state_dict
-from ..io.checkpoints import save_sigma_checkpoint
 from ..models.factory import create_edm_sigma_eps_model
 from ..models.song_unet import SongUNet, EDMPrecond
 from ..parallel.mesh import make_data_mesh, replicate, shard_batch

@@ -14,7 +14,7 @@ evaluate_constraint's `2*x - 1`).
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Optional, Sequence, Tuple
 
 import numpy as np
 from PIL import Image

@@ -7,7 +7,6 @@ by jax process index instead of MPI rank, and images arrive NHWC float32 in
 """
 from __future__ import annotations
 
-import math
 import os
 import random
 from typing import Iterator, Optional, Tuple

@@ -21,9 +21,8 @@ Feature extractors:
 """
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
-from typing import Callable, Iterable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import numpy as np
 

@@ -13,7 +13,6 @@ pool3 features.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import numpy as np

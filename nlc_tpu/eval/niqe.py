@@ -9,8 +9,7 @@ the store/ asset pattern used throughout this framework).
 """
 from __future__ import annotations
 
-import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.ndimage import convolve

@@ -10,7 +10,6 @@ from __future__ import annotations
 import hashlib
 import os
 import urllib.request
-from typing import Optional
 
 # public checkpoint registry (the DDIM release the reference points at)
 CKPT_REGISTRY = {

@@ -15,7 +15,7 @@ block replaces the reference's CheckpointFunction (src/nn_util.py:124-170).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,8 @@ set of params serves all call paths under jit/scan.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Sequence, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -8,13 +8,13 @@ incl. the per-image-size channel_mult defaults (:158-170).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 
 from .adm_unet import ADMUNet, ADMUNetConfig, ADMSigmaHead
 from .ddim_unet import DDIMUNet, DDIMUNetConfig
-from .sigma_head import SigmaHead, SigmaHeadConfig, sigma_head_for_unet
+from .sigma_head import SigmaHead, sigma_head_for_unet
 from .song_unet import SongUNet, SongUNetConfig, EDMSigmaHead
 
 NUM_CLASSES = 1000

@@ -14,7 +14,7 @@ designed for XLA/TPU:
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ NHWC; PixelShuffle upsampling = depth-to-space.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -10,8 +10,8 @@ process) or psum (multi-host) — same observable behavior.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -22,7 +22,6 @@ from flax import struct
 
 from ..eval import calculate_psnr, calculate_ssim
 from ..io.checkpoints import save_pytree, load_pytree
-from ..utils import logger
 from .archs import define_network
 from .losses import build_loss
 from .lr_schedulers import build_scheduler

@@ -9,7 +9,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from .samplers import Sampler
-from .timesteps import SamplingGrid
 
 
 def redesign_sigma_tail(sampler: Sampler, max_T: int, num_timesteps: int,

@@ -21,8 +21,7 @@ state is threaded explicitly through the scan carry.
 """
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import jax.numpy as jnp

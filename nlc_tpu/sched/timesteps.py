@@ -13,7 +13,6 @@ fixed-length arrays — no per-step host work.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 import jax.numpy as jnp

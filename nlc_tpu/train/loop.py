@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine import DenoiseConfig, ModelBundle, denoise_loop, init_noise
-from ..engine.edm import EDMModelBundle, EDMSamplerConfig, build_edm_sampler
+from ..engine.edm import EDMModelBundle, EDMSamplerConfig
 from ..eval.fid import FIDComputer
 from ..io.checkpoints import save_sigma_checkpoint
 from ..parallel.mesh import is_primary

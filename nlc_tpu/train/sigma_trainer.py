@@ -20,8 +20,7 @@ fp16_util.py dynamic loss scaling is CUDA-fp16 specific).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ named '{rank:02}-{batch:05}-{j:03}.png') and the PNG-skip resume check.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 from PIL import Image

@@ -11,7 +11,7 @@ matching the reference's INITIAL_LOG_LOSS_SCALE).
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ jit) before Collector.update; single-process runs need nothing.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
