@@ -42,6 +42,19 @@ def build_dataset(dopt: dict, phase: str):
     if dopt is None or dopt.get("type") == "synthetic" or \
             not os.path.isdir(dopt.get("dataroot_gt", "")):
         return SyntheticPairedDataset(size=dopt.get("gt_size", 32) if dopt else 32)
+    if dopt.get("type") in ("video", "VideoTestDataset", "Vimeo90KDataset",
+                            "REDSDataset"):
+        from ..restoration.data import VideoClipDataset
+        return VideoClipDataset(dopt["dataroot_gt"], dopt["dataroot_lq"],
+                                num_frame=dopt.get("num_frame", 3),
+                                padding=dopt.get("padding", "reflection"))
+    if dopt.get("type") in ("stereo", "PairedStereoImageDataset"):
+        from ..restoration.data import StereoPairedDataset
+        return StereoPairedDataset(
+            dopt["dataroot_gt"], dopt["dataroot_lq"],
+            gt_size=dopt.get("gt_size", 64), scale=dopt.get("scale", 2),
+            phase=phase, use_flip=dopt.get("use_flip", True),
+            use_rot=dopt.get("use_rot", False))
     return PairedImageDataset(
         dataroot_gt=dopt["dataroot_gt"], dataroot_lq=dopt["dataroot_lq"],
         gt_size=dopt.get("gt_size", 256), scale=dopt.get("scale", 1),

@@ -168,6 +168,9 @@ def depth_to_space(x, factor: int = 2):
 @register_arch
 class NAFNet(nn.Module):
     img_channel: int = 3
+    out_channel: Optional[int] = None   # defaults to img_channel; video models
+                                        # consume an N-frame channel stack and
+                                        # emit the center frame
     width: int = 16
     middle_blk_num: int = 1
     enc_blk_nums: Sequence[int] = ()
@@ -265,8 +268,13 @@ class NAFNet(nn.Module):
             x = x + skips[-(i + 1)]
             for j in range(num):
                 x = blk(x, f"dec_{i}_{j}")
-        x = nn.Conv(self.img_channel, (3, 3), padding=1, name="ending")(x)
-        x = x + x_in
+        out_ch = self.out_channel or self.img_channel
+        x = nn.Conv(out_ch, (3, 3), padding=1, name="ending")(x)
+        if out_ch == x_in.shape[-1]:
+            x = x + x_in
+        else:
+            mid = (x_in.shape[-1] - out_ch) // 2
+            x = x + x_in[..., mid:mid + out_ch]
         return x[:, :h0, :w0, :]
 
 

@@ -179,3 +179,68 @@ class StereoPairedDataset:
             gt, lq = paired_augment(gt, lq, self.use_flip, self.use_rot,
                                     self.rng)
         return lq.copy(), gt.copy()
+
+
+def generate_frame_indices(crt_idx: int, max_frame_num: int, num_frames: int,
+                           padding: str = "reflection"):
+    """Frame window around crt_idx with boundary padding (reference
+    basicsr/data/data_util.py:41-94; same four modes and semantics)."""
+    assert num_frames % 2 == 1, "num_frames should be odd"
+    assert padding in ("replicate", "reflection", "reflection_circle",
+                       "circle"), padding
+    last = max_frame_num - 1
+    pad = num_frames // 2
+    out = []
+    for i in range(crt_idx - pad, crt_idx + pad + 1):
+        if i < 0:
+            j = {"replicate": 0, "reflection": -i,
+                 "reflection_circle": crt_idx + pad - i,
+                 "circle": num_frames + i}[padding]
+        elif i > last:
+            j = {"replicate": last, "reflection": last * 2 - i,
+                 "reflection_circle": (crt_idx - pad) - (i - last),
+                 "circle": i - num_frames}[padding]
+        else:
+            j = i
+        out.append(j)
+    return out
+
+
+class VideoClipDataset:
+    """Video test pairs (reference data/video_test_dataset.py semantics):
+    per-clip folders of frames under dataroot_gt/dataroot_lq; each item is the
+    center-frame gt plus a num_frame window of lq frames stacked channel-wise
+    (the frame-window conditioning REDS/Vimeo models consume)."""
+
+    def __init__(self, dataroot_gt: str, dataroot_lq: str, num_frame: int = 3,
+                 padding: str = "reflection"):
+        self.clips = sorted(d for d in os.listdir(dataroot_lq)
+                            if os.path.isdir(os.path.join(dataroot_lq, d)))
+        if not self.clips:
+            raise ValueError(f"no clip folders under {dataroot_lq}")
+        self.root_gt = dataroot_gt
+        self.root_lq = dataroot_lq
+        self.num_frame = num_frame
+        self.padding = padding
+        self.index = []          # (clip, frame_idx, n_frames_in_clip)
+        self.frames = {}
+        for c in self.clips:
+            fs = sorted(os.listdir(os.path.join(dataroot_lq, c)))
+            self.frames[c] = fs
+            self.index += [(c, i, len(fs)) for i in range(len(fs))]
+
+    def __len__(self):
+        return len(self.index)
+
+    def _load(self, root, clip, name):
+        return np.asarray(Image.open(os.path.join(root, clip, name))
+                          .convert("RGB"), np.float32) / 255.0
+
+    def __getitem__(self, i):
+        clip, idx, n = self.index[i]
+        fs = self.frames[clip]
+        window = generate_frame_indices(idx, n, self.num_frame, self.padding)
+        lq = np.concatenate([self._load(self.root_lq, clip, fs[j])
+                             for j in window], axis=-1)
+        gt = self._load(self.root_gt, clip, fs[idx])
+        return lq, gt

@@ -389,3 +389,71 @@ def test_demo_ssr_cli(tmp_path):
         "--output_r", str(tmp_path / "sr.png")])
     assert np.asarray(Image.open(out_l)).shape == (20, 24, 3)
     assert np.asarray(Image.open(out_r)).shape == (20, 24, 3)
+
+
+def test_video_clip_dataset(tmp_path):
+    """Frame-window indices match the reference padding modes; clip dataset
+    stacks the lq window channel-wise around the center gt frame."""
+    from nlc_tpu.restoration.data import (VideoClipDataset,
+                                          generate_frame_indices)
+    # reference docstring examples (data_util.py:54-59)
+    assert generate_frame_indices(0, 100, 5, "replicate") == [0, 0, 0, 1, 2]
+    assert generate_frame_indices(0, 100, 5, "reflection") == [2, 1, 0, 1, 2]
+    assert generate_frame_indices(0, 100, 5, "reflection_circle") == [4, 3, 0, 1, 2]
+    assert generate_frame_indices(0, 100, 5, "circle") == [3, 4, 0, 1, 2]
+
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    for sub in ["gt", "lq"]:
+        for clip in ["c0", "c1"]:
+            d = tmp_path / sub / clip
+            d.mkdir(parents=True)
+            for f in range(4):
+                Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)
+                                ).save(d / f"{f:03}.png")
+    ds = VideoClipDataset(str(tmp_path / "gt"), str(tmp_path / "lq"),
+                          num_frame=3)
+    assert len(ds) == 8
+    lq, gt = ds[0]          # first frame of c0: reflection pad
+    assert lq.shape == (8, 8, 9) and gt.shape == (8, 8, 3)
+    # center channel block equals frame 0's lq
+    lq0 = np.asarray(Image.open(tmp_path / "lq" / "c0" / "000.png"),
+                     np.float32) / 255.0
+    np.testing.assert_allclose(lq[..., 3:6], lq0)
+
+
+def test_video_training_cli(tmp_path):
+    """basicsr_train on a video clip dataset: 3-frame window in, center frame
+    out (NAFNet out_channel)."""
+    from PIL import Image
+    from nlc_tpu.cli.basicsr_train import main as train_main, parse_options
+    rng = np.random.RandomState(0)
+    for sub in ["gt", "lq"]:
+        d = tmp_path / "data" / sub / "c0"
+        d.mkdir(parents=True)
+        for f in range(4):
+            Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+                d / f"{f:03}.png")
+    opt = {"name": "vid", "manual_seed": 0,
+           "network_g": {"type": "NAFNet", "img_channel": 9, "out_channel": 3,
+                         "width": 8, "middle_blk_num": 1, "enc_blk_nums": [1],
+                         "dec_blk_nums": [1]},
+           "datasets": {"train": {"type": "video",
+                                  "dataroot_gt": str(tmp_path / "data" / "gt"),
+                                  "dataroot_lq": str(tmp_path / "data" / "lq"),
+                                  "num_frame": 3, "batch_size_per_gpu": 2},
+                        "val": {"type": "video",
+                                "dataroot_gt": str(tmp_path / "data" / "gt"),
+                                "dataroot_lq": str(tmp_path / "data" / "lq"),
+                                "num_frame": 3}},
+           "train": {"total_iter": 2, "pixel_opt": {"type": "L1Loss"},
+                     "optim_g": {"lr": 1e-3},
+                     "scheduler": {"type": "LinearLR", "total_iter": 2}},
+           "val": {"val_freq": 100},
+           "logger": {"print_freq": 1, "save_checkpoint_freq": 2},
+           "path": {"experiments_root": str(tmp_path / "exp")}}
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    state, metrics = train_main(parse_options(["-opt", str(opt_path)]))
+    assert int(state.step) == 2 and "psnr" in metrics
