@@ -186,3 +186,56 @@ def test_cifar10_eval_dataset_order(tmp_path):
     np.random.set_state(rs)
     assert [os.path.basename(f) for f in ds.files] == \
         [f"{i:03}.png" for i in idx]
+
+
+def test_serve_endpoints(store, tmp_path):
+    """HTTP inference server: healthz, warm /sample, /restore roundtrip,
+    clean errors."""
+    import base64, io, json, threading, urllib.request
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+    from nlc_tpu.cli.image_sample import get_args
+    from nlc_tpu.cli.serve import NLCService, make_handler
+
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "default", "--sampling", "denoise", "--sigma_type", "pred",
+        "--norm_eps", "1", "--refine_sigma", "1", "--num_timesteps", "3",
+        "--max_T", "3", "--batch_size", "2", "--bf16", "0", "--eta", "0.0"])
+    service = NLCService(args, config)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        h = json.load(urllib.request.urlopen(f"{base}/healthz"))
+        assert h["status"] == "ok" and h["resolution"] == 16
+
+        r = json.load(urllib.request.urlopen(urllib.request.Request(
+            f"{base}/sample?n=2&seed=3", method="POST"), timeout=300))
+        assert len(r["images"]) == 2
+        im = Image.open(io.BytesIO(base64.b64decode(r["images"][0])))
+        assert im.size == (16, 16)
+
+        buf = io.BytesIO()
+        Image.fromarray((np.random.RandomState(0).rand(24, 24, 3) * 255)
+                        .astype(np.uint8)).save(buf, format="PNG")
+        req = urllib.request.Request(
+            f"{base}/restore?constraint=sr_averagepooling",
+            data=buf.getvalue(), method="POST")
+        out = urllib.request.urlopen(req, timeout=600)
+        assert out.headers["Content-Type"] == "image/png"
+        rim = Image.open(io.BytesIO(out.read()))
+        assert rim.size == (16, 16)
+
+        # error probes return JSON, not a dead worker
+        bad = urllib.request.Request(f"{base}/restore", data=b"x",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            assert False
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
