@@ -305,6 +305,30 @@ PANet = _variant("PANet", conv_attn="sca", ffn_attn="clip_prompt",
                  clip_prompt=True)
 
 
+def _register_local_variants():
+    """<Name>Local aliases (reference NAFNetLocal/SPANetLocal/... classes):
+    the TLC test-time conversion — same weights, SCA pooling over a local
+    window sized 1.5x the train size (Local_Base.convert semantics,
+    local_arch.py + NAFNet_arch.py:168-180). Accepts the reference's
+    train_size=(N, C, H, W) option and maps it to tlc_window."""
+    for base_name in ["NAFNet", "CANet", "NOANet", "SSANet", "SCSANet",
+                      "SSSANet", "SSCSANet", "SPANet", "RSPANet", "NSPANet",
+                      "PANet"]:
+        base_ctor = ARCH_REGISTRY[base_name]
+
+        def local_ctor(_base=base_ctor, train_size=(1, 3, 256, 256),
+                       fast_imp=False, **kw):
+            h, w = train_size[-2], train_size[-1]
+            kw.setdefault("tlc_window", (int(h * 1.5), int(w * 1.5)))
+            return _base(**kw)
+
+        local_ctor.__name__ = base_name + "Local"
+        ARCH_REGISTRY[base_name + "Local"] = local_ctor
+
+
+_register_local_variants()
+
+
 @register_arch
 class NAFSSR(nn.Module):
     """Stereo super-resolution: shared NAFNet trunk + stereo cross-attention

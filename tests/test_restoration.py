@@ -457,3 +457,28 @@ def test_video_training_cli(tmp_path):
         yaml.safe_dump(opt, f)
     state, metrics = train_main(parse_options(["-opt", str(opt_path)]))
     assert int(state.step) == 2 and "psnr" in metrics
+
+
+def test_local_variant_registry():
+    """<Name>Local aliases map train_size to a TLC window; weights are shared
+    with the base arch (same param tree), and the local pooling changes the
+    output as TLC should."""
+    net_l = define_network({"type": "NAFNetLocal", "width": 8,
+                            "middle_blk_num": 1, "enc_blk_nums": [1],
+                            "dec_blk_nums": [1],
+                            "train_size": [1, 3, 8, 8]})
+    assert net_l.tlc_window == (12, 12)
+    net_g = define_network({"type": "NAFNet", "width": 8, "middle_blk_num": 1,
+                            "enc_blk_nums": [1], "dec_blk_nums": [1]})
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3), jnp.float32)
+    params = net_g.init(jax.random.PRNGKey(0), x)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.RandomState(1)
+    leaves = [jnp.asarray(rng.randn(*l.shape).astype(np.float32) * 0.1)
+              for l in leaves]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    out_l = net_l.apply(params, x)        # same param tree loads directly
+    out_g = net_g.apply(params, x)
+    assert out_l.shape == out_g.shape
+    assert not np.allclose(np.asarray(out_l), np.asarray(out_g))
+    assert "PANetLocal" in ARCH_REGISTRY and "SPANetLocal" in ARCH_REGISTRY
