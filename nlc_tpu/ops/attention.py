@@ -49,8 +49,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _pallas_attention(q, k, v, scale: float):
+    return _pallas_attention_fwd_impl(q, k, v, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def _pallas_attention_fwd_impl(q, k, v, scale: float):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -69,6 +74,26 @@ def _pallas_attention(q, k, v, scale: float):
         out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
     )(qf, kf, vf)
     return out.reshape(b, h, n, d)
+
+
+def _pallas_attention_vjp_fwd(q, k, v, scale):
+    # nondiff args stay in their primal positions for the fwd rule; only the
+    # bwd rule receives them first
+    return _pallas_attention_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _pallas_attention_vjp_bwd(scale, res, g):
+    # The Pallas kernel has no Mosaic backward; training paths that reach
+    # attention (e.g. the sigma head) differentiate through the equivalent
+    # XLA einsum formulation instead. At the sigma-head shapes the recompute
+    # is negligible; the inference scan never takes this path.
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_pallas_attention.defvjp(_pallas_attention_vjp_fwd, _pallas_attention_vjp_bwd)
 
 
 def use_pallas_attention(q_shape, dtype) -> bool:

@@ -357,3 +357,25 @@ def test_pred_fast_projection_loop():
     out, _ = projection_loop(s, bundle, cfg, params, svars, xT, seeds)
     assert out.shape == (2, 16, 16, 3)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_fused_attention_is_differentiable():
+    """Training paths differentiate through fused_attention; on TPU the
+    Pallas forward pairs with an XLA-einsum backward (custom_vjp). On CPU
+    this exercises the same public entry."""
+    from nlc_tpu.ops.attention import fused_attention, _xla_attention
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, 8 ** -0.5) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
