@@ -239,3 +239,23 @@ def test_serve_endpoints(store, tmp_path):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_make_fid_stats_cli(tmp_path):
+    from PIL import Image
+    from nlc_tpu.cli.make_fid_stats import main as stats_main
+    from nlc_tpu.eval.fid import FIDComputer
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        Image.fromarray((rng.rand(16, 16, 3) * 255).astype(np.uint8)).save(
+            d / f"{i}.png")
+    out = stats_main(["--images_dir", str(d),
+                      "--out", str(tmp_path / "s.npz")])
+    with np.load(out) as f:
+        assert set(f.files) == {"mu", "sigma"}
+    fid = FIDComputer(target=out)
+    assert abs(fid.fid_of_dir(str(d))) < 1e-3      # self-distance ~ 0
+    with pytest.raises(SystemExit):
+        stats_main(["--images_dir", str(tmp_path / "nope"), "--out", "x.npz"])
