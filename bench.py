@@ -91,8 +91,11 @@ def main():
         encode_method = ADMUNet.encode
         learn_epsvar = True
         model_name = "ADM-UNet"
-    params = model.init(rng, x0, t0)
-    svars = head.init(jax.random.PRNGKey(1), jnp.zeros((1,) + cfg.feat_shape))
+    # jit the inits: eager flax init dispatches thousands of tiny ops, which
+    # is minutes of round-trips on a tunneled device; jitted it is one program
+    params = jax.jit(model.init)(rng, x0, t0)
+    svars = jax.jit(head.init)(jax.random.PRNGKey(1),
+                               jnp.zeros((1,) + cfg.feat_shape))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
     log(f"eps model ({model_name}) params: {n_params/1e6:.1f}M")
 

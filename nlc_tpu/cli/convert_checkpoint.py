@@ -14,6 +14,13 @@ Usage:
   # EDM pickles
   python -m nlc_tpu.cli.convert_checkpoint --family edm --config cifar10 \
       --load_eps network-snapshot.pkl --dst out/
+
+Reverse direction (our orbax pytrees -> reference torch .pt state_dicts, for
+users migrating back gradually; io/reverse_convert.py):
+  python -m nlc_tpu.cli.convert_checkpoint --reverse --arch adm \
+      --src out/eps --dst model.pt
+  python -m nlc_tpu.cli.convert_checkpoint --reverse --arch adm_sigma \
+      --src runs/sigma_ckpt_10 --dst sigma.pt
 """
 from __future__ import annotations
 
@@ -22,10 +29,42 @@ import os
 
 import numpy as np
 
+REVERSE_ARCHS = ["ddim", "adm", "song", "dhariwal",
+                 "ddim_sigma", "adm_sigma", "edm_sigma"]
+
+
+def reverse_main(args):
+    from ..io import reverse_convert as rc
+    from ..io.checkpoints import load_pytree
+
+    tree = load_pytree(args.src)
+    params = tree.get("params", tree) if isinstance(tree, dict) else tree
+    batch_stats = tree.get("batch_stats") if isinstance(tree, dict) else None
+    if args.arch.endswith("_sigma"):
+        dim, channels, n_blocks = rc.infer_sigma_head_dims(params)
+        fn = {"ddim_sigma": rc.ddim_sigma_head_to_torch,
+              "adm_sigma": rc.adm_sigma_head_to_torch,
+              "edm_sigma": rc.edm_sigma_head_to_torch}[args.arch]
+        sd = fn(params, batch_stats, dim, channels, n_blocks)
+    else:
+        fn = {"ddim": rc.ddim_unet_to_torch, "adm": rc.adm_unet_to_torch,
+              "song": rc.song_unet_to_torch,
+              "dhariwal": rc.dhariwal_unet_to_torch}[args.arch]
+        sd = fn(params)
+    rc.save_torch_state_dict(sd, args.dst)
+    print(f"wrote {args.dst} ({len(sd)} tensors, "
+          f"{sum(v.size for v in sd.values())/1e6:.2f}M params)")
+    return [args.dst]
+
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--family", required=True, choices=["nlc", "edm"])
+    p.add_argument("--family", choices=["nlc", "edm"])
+    p.add_argument("--reverse", action="store_true",
+                   help="orbax pytree -> torch state_dict (.pt)")
+    p.add_argument("--arch", choices=REVERSE_ARCHS,
+                   help="model family of --src (reverse mode)")
+    p.add_argument("--src", help="orbax checkpoint dir (reverse mode)")
     p.add_argument("--dst", required=True)
     p.add_argument("--config", default="cifar10")
     p.add_argument("--config_path", default=None)
@@ -34,6 +73,12 @@ def main(argv=None):
     p.add_argument("--load_sigma", default=None)
     p.add_argument("--sigma_block", type=int, default=2)
     args = p.parse_args(argv)
+    if args.reverse:
+        if not (args.arch and args.src):
+            raise SystemExit("--reverse needs --arch and --src")
+        return reverse_main(args)
+    if args.family is None:
+        raise SystemExit("--family is required (forward mode)")
     if args.load_eps is None and args.load_sigma is None:
         raise SystemExit("nothing to convert: pass --load_eps and/or "
                          "--load_sigma")
