@@ -241,6 +241,34 @@ def test_serve_endpoints(store, tmp_path):
         server.shutdown()
 
 
+def test_serve_coalescing(store):
+    """Concurrent same-kind requests pack into ONE device launch, and
+    per-sample seeding makes each image identical however it was packed."""
+    from concurrent.futures import ThreadPoolExecutor
+    from nlc_tpu.cli.image_sample import get_args
+    from nlc_tpu.cli.serve import NLCService
+
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "default", "--sampling", "denoise", "--sigma_type", "base",
+        "--num_timesteps", "2", "--max_T", "2", "--batch_size", "4",
+        "--bf16", "0", "--eta", "0.0"])
+    service = NLCService(args, config, coalesce_ms=1000.0)
+    base = service.coalescer.n_launches
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [ex.submit(service.sample, 1, seed) for seed in (5, 6, 7)]
+        results = [f.result(timeout=300) for f in futs]
+    assert service.coalescer.n_launches == base + 1, "requests not coalesced"
+    assert service.coalescer.n_requests >= 4  # warmup + the three above
+
+    # bit-identical to a solo request for the same seed
+    solo = service.sample(1, seed=6)
+    np.testing.assert_array_equal(results[1][0], solo[0])
+    # different seeds produce different images
+    assert not np.array_equal(results[0][0], results[2][0])
+
+
 def test_make_fid_stats_cli(tmp_path):
     from PIL import Image
     from nlc_tpu.cli.make_fid_stats import main as stats_main
