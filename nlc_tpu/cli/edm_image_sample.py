@@ -93,6 +93,7 @@ def get_args(argv=None):
     p.add_argument("--fid_target", type=str, default=None)
     p.add_argument("--inception_ckpt", type=str, default=None)
     p.add_argument("--store_dir", type=str, default="store")
+    p.add_argument("--device", type=str, default=None)  # accepted; jax picks devices
     p.add_argument("--sigma_block", type=int, default=2)
     p.add_argument("--sigma_dropout", type=float, default=0.0)
     p.add_argument("--bf16", type=int, default=1)

@@ -122,6 +122,7 @@ def get_args(argv=None):
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--mask_dir", type=str, default="store/inp_masks")
     p.add_argument("--store_dir", type=str, default="store")
+    p.add_argument("--device", type=str, default=None)  # accepted; jax picks devices
     p.add_argument("--method", type=str, default="pred_denoise_base",
                    choices=METHOD_CHOICES)
     p.add_argument("--return_log", type=int, default=0)

@@ -68,14 +68,30 @@ def get_args(argv=None):
     p.add_argument("--eta2_min", type=float, default=0.0)
     p.add_argument("--eta2_scale", type=float, default=0.0)
     p.add_argument("--num_timesteps", type=int, default=None)
+    p.add_argument("--start_sigma", type=float, default=80)   # eval sigma grid
+    p.add_argument("--end_sigma", type=float, default=0.002)
     p.add_argument("--result_dir", type=str, default="results")
     p.add_argument("--seed", type=int, default=2023)
     p.add_argument("--load_eps", type=str, default=None)
+    p.add_argument("--load_folder", type=str, default=None,
+                   help="reuse an existing run dir under result_dir instead "
+                        "of allocating a new numbered one")
+    p.add_argument("--resume_model", type=str, default=None)
+    p.add_argument("--resume_ema_model", type=str, default=None)
+    p.add_argument("--resume_optim", type=str, default=None)
     p.add_argument("--fid_target", type=str, default=None)
     p.add_argument("--inception_ckpt", type=str, default=None)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--store_dir", type=str, default="store")
     p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--use_sigma_fp16", type=int, default=0,
+                   help="train the sigma head in bf16 (TPU analog of the "
+                        "reference's fp16 torso)")
+    # accepted for reference-script compatibility; jax-native equivalents
+    p.add_argument("--device", type=str, default=None)        # jax picks devices
+    p.add_argument("--dist_train", type=int, default=1)       # mesh DP is automatic
+    p.add_argument("--feat_layer", type=int, default=1)       # dead in reference EDM path too
+    p.add_argument("--microbatch", type=int, default=128)     # TPU fits the full batch
     args = p.parse_args(argv)
 
     args.result_dir = os.path.join(args.result_dir, args.config)
@@ -94,14 +110,17 @@ def get_args(argv=None):
 
 def main(args, config):
     logger.configure(dir="./logs/")
-    i = 0
-    while os.path.exists(os.path.join(args.result_dir, str(i))):
-        i += 1
-    save_dir = os.path.join(args.result_dir, str(i))
+    if args.load_folder is not None:   # reference :123-141 resume-into-run-dir
+        save_dir = os.path.join(args.result_dir, str(args.load_folder))
+    else:
+        i = 0
+        while os.path.exists(os.path.join(args.result_dir, str(i))):
+            i += 1
+        save_dir = os.path.join(args.result_dir, str(i))
     os.makedirs(save_dir, exist_ok=True)
     dump_args(args, os.path.join(save_dir, "args.json"))
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    dtype = jnp.bfloat16 if (args.bf16 or args.use_sigma_fp16) else jnp.float32
     m = config.model
     model, head, ucfg = create_edm_sigma_eps_model(
         img_resolution=m.img_resolution, model_channels=m.get("model_channels", 128),
@@ -124,8 +143,27 @@ def main(args, config):
     svars = head.init(jax.random.PRNGKey(args.seed),
                       jnp.zeros((1,) + ucfg.feat_shape), deterministic=False,
                       use_running_average=False)
-    state, tx = create_sigma_train_state(svars, lr=args.lr,
-                                         weight_decay=args.weight_decay)
+    if args.resume_model and os.path.exists(args.resume_model):
+        from ..io.checkpoints import load_pytree
+        svars = load_pytree(args.resume_model)
+        logger.log("resumed sigma model from", args.resume_model)
+    state, tx = create_sigma_train_state(
+        {"params": svars["params"],
+         "batch_stats": svars.get("batch_stats", {})},
+        lr=args.lr, weight_decay=args.weight_decay)
+    if args.resume_ema_model and os.path.exists(args.resume_ema_model):
+        from ..io.checkpoints import load_pytree
+        ema = load_pytree(args.resume_ema_model)
+        state = state.replace(ema_params=ema["params"])
+        logger.log("resumed ema from", args.resume_ema_model)
+    if args.resume_optim and os.path.exists(args.resume_optim):
+        from ..io.checkpoints import load_pytree
+        opt = load_pytree(args.resume_optim,
+                          target={"opt_state": state.opt_state,
+                                  "step": state.step})
+        state = state.replace(opt_state=opt["opt_state"],
+                              step=jnp.asarray(opt["step"]))
+        logger.log("resumed optimizer from", args.resume_optim)
 
     def encode_fn(p, z, t):
         return model.apply(p, z, t, method=SongUNet.encode)
@@ -162,9 +200,11 @@ def main(args, config):
         precond=EDMPrecond())
     nmin, nmax = set_norm_maxmin((res, res, 3), args.norm_min, args.norm_max)
     base_fn = build_edm_sampler(bundle, EDMSamplerConfig(
-        num_steps=args.num_timesteps, style="base,base"), (res, res, 3))
+        num_steps=args.num_timesteps, sigma_max=args.start_sigma,
+        sigma_min=args.end_sigma, style="base,base"), (res, res, 3))
     pred_fn = build_edm_sampler(bundle, EDMSamplerConfig(
-        num_steps=args.num_timesteps, style="pred_partial,pred_partial",
+        num_steps=args.num_timesteps, sigma_max=args.start_sigma,
+        sigma_min=args.end_sigma, style="pred_partial,pred_partial",
         norm_eps="110", refine_prior_sigma=True, norm_max=nmax, norm_min=nmin),
         (res, res, 3))
 

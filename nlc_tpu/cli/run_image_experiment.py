@@ -100,6 +100,10 @@ def get_args(argv=None):
     p.add_argument("--resume_optim", type=str, default=None)
     p.add_argument("--bf16", type=int, default=1)
     p.add_argument("--use_sigma_fp16", type=int, default=0)
+    p.add_argument("--continuous_t", type=int, default=0)
+    # accepted for reference-script compatibility (dead or jax-native there too)
+    p.add_argument("--device", type=str, default=None)
+    p.add_argument("--refine_sigma", type=int, default=0)  # unused by reference trainer
     args = p.parse_args(argv)
 
     if args.config_path is None:
@@ -182,6 +186,13 @@ def main(args, config):
         ema = load_pytree(args.resume_ema_model)
         state = state.replace(ema_params=ema["params"])
         logger.log("resumed ema from", args.resume_ema_model)
+    if args.resume_optim and os.path.exists(args.resume_optim):
+        opt = load_pytree(args.resume_optim,
+                          target={"opt_state": state.opt_state,
+                                  "step": state.step})
+        state = state.replace(opt_state=opt["opt_state"],
+                              step=jnp.asarray(opt["step"]))
+        logger.log("resumed optimizer from", args.resume_optim)
 
     sampler = get_sampler(args.sampler, config.diffusion.num_diffusion_timesteps,
                           args.num_timesteps,
@@ -189,7 +200,8 @@ def main(args, config):
                           sigma_style=args.sigma_style,
                           set_alpha_to_one=bool(args.final_alpha_one),
                           start_sigma=args.start_sigma, end_sigma=args.end_sigma,
-                          sampler_var=args.sampler_var, eta=args.eta)
+                          sampler_var=args.sampler_var, eta=args.eta,
+                          continuous_t=bool(args.continuous_t))
 
     def encode_fn(p, z, t):
         return model.apply(p, z, t, method=encode_method)

@@ -31,9 +31,14 @@ def save_pytree(tree: Any, path: str) -> None:
     cp.save(path, tree, force=True)
 
 
-def load_pytree(path: str) -> Any:
+def load_pytree(path: str, target: Any = None) -> Any:
+    """Restore an orbax pytree. Pass `target` (a template tree of the same
+    structure, e.g. a live optax state) to restore into typed containers
+    (NamedTuples etc.) instead of raw nested dicts."""
     cp = _checkpointer()
-    return cp.restore(os.path.abspath(path))
+    if target is None:
+        return cp.restore(os.path.abspath(path))
+    return cp.restore(os.path.abspath(path), item=target)
 
 
 def save_sigma_checkpoint(save_dir: str, epoch: int, state) -> None:

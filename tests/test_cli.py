@@ -94,6 +94,53 @@ def test_train_cli_and_resume(store, tmp_path):
     from nlc_tpu.io.checkpoints import load_pytree
     ck = load_pytree(os.path.join(run_dir, "sigma_ckpt_0"))
     assert "params" in ck
+    # full resume: model + ema + optimizer state restore into typed containers
+    # (reference run_image_experiment.py:73-75 resume flags)
+    args2, config2 = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--epoch", "1", "--iter_per_epoch", "2", "--eval_per_epoch", "5",
+        "--save_per_epoch", "1", "--batch_size", "2", "--bf16", "0",
+        "--sigma_block", "2", "--num_timesteps", "3",
+        "--resume_model", os.path.join(run_dir, "sigma_ckpt_0"),
+        "--resume_ema_model", os.path.join(run_dir, "ema_sigma_ckpt_0"),
+        "--resume_optim", os.path.join(run_dir, "optim_state"),
+        "--result_dir", str(tmp_path / "train")])
+    main(args2, config2)
+    run_dir2 = os.path.join(str(tmp_path / "train"), "celeba", "1")
+    opt2 = load_pytree(os.path.join(run_dir2, "optim_state"))
+    # resumed run continued counting steps from the first run's optim state
+    assert int(np.asarray(opt2["step"])) == 4
+
+
+def test_edm_train_cli_and_resume(store, tmp_path):
+    """EDM sigma-trainer CLI smoke (synthetic data, random frozen eps) +
+    --load_folder / resume flags (reference run_edm_experiment.py:63-69)."""
+    from nlc_tpu.cli.run_edm_experiment import get_args, main
+    from nlc_tpu.io.checkpoints import load_pytree
+
+    common = ["--config", "cifar10", "--config_path", "tinyedm",
+              "--store_dir", store, "--epoch", "1", "--iter_per_epoch", "2",
+              "--eval_per_epoch", "5", "--save_per_epoch", "1",
+              "--batch_size", "2", "--bf16", "0", "--sigma_block", "2",
+              "--num_timesteps", "3",
+              "--result_dir", str(tmp_path / "edmtrain")]
+    args, config = get_args(common)
+    main(args, config)
+    run_dir = os.path.join(str(tmp_path / "edmtrain"), "cifar10", "0")
+    assert os.path.isdir(os.path.join(run_dir, "sigma_ckpt_0"))
+
+    # resume into the SAME run dir (--load_folder) with full state restore
+    args2, config2 = get_args(common + [
+        "--load_folder", "0",
+        "--resume_model", os.path.join(run_dir, "sigma_ckpt_0"),
+        "--resume_ema_model", os.path.join(run_dir, "ema_sigma_ckpt_0"),
+        "--resume_optim", os.path.join(run_dir, "optim_state")])
+    main(args2, config2)
+    opt2 = load_pytree(os.path.join(run_dir, "optim_state"))
+    assert int(np.asarray(opt2["step"])) == 4  # continued, not restarted
+    # no new numbered run dir was allocated
+    assert not os.path.isdir(os.path.join(str(tmp_path / "edmtrain"),
+                                          "cifar10", "1"))
 
 
 def test_result_evaluater(tmp_path):
