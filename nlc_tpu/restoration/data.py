@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Iterator, Tuple
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -213,13 +213,15 @@ class VideoClipDataset:
     (the frame-window conditioning REDS/Vimeo models consume)."""
 
     def __init__(self, dataroot_gt: str, dataroot_lq: str, num_frame: int = 3,
-                 padding: str = "reflection"):
+                 padding: str = "reflection",
+                 dataroot_flow: Optional[str] = None):
         self.clips = sorted(d for d in os.listdir(dataroot_lq)
                             if os.path.isdir(os.path.join(dataroot_lq, d)))
         if not self.clips:
             raise ValueError(f"no clip folders under {dataroot_lq}")
         self.root_gt = dataroot_gt
         self.root_lq = dataroot_lq
+        self.root_flow = dataroot_flow
         self.num_frame = num_frame
         self.padding = padding
         self.index = []          # (clip, frame_idx, n_frames_in_clip)
@@ -243,4 +245,21 @@ class VideoClipDataset:
         lq = np.concatenate([self._load(self.root_lq, clip, fs[j])
                              for j in window], axis=-1)
         gt = self._load(self.root_gt, clip, fs[idx])
-        return lq, gt
+        if self.root_flow is None:
+            return lq, gt
+        return lq, gt, self._load_flows(clip, fs[idx])
+
+    def _load_flows(self, clip, frame_file):
+        """REDS-style quantized flow maps: `<frame>_p{i}.png` / `_n{i}.png`
+        pairs around the center frame, dx/dy concatenated along axis 0
+        (reference basicsr/data/reds_dataset.py:166-190). Returns a list of
+        (h, w, 2) flows ordered [p_k..p_1, n_1..n_k]."""
+        from .flow import flowread
+        frame = os.path.splitext(frame_file)[0]
+        half = self.num_frame // 2
+        flows = []
+        for tag in [f"_p{i}" for i in range(half, 0, -1)] + \
+                   [f"_n{i}" for i in range(1, half + 1)]:
+            path = os.path.join(self.root_flow, clip, f"{frame}{tag}.png")
+            flows.append(flowread(path, quantize_pair=True))
+        return flows
