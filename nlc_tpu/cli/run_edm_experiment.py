@@ -120,7 +120,11 @@ def main(args, config):
     os.makedirs(save_dir, exist_ok=True)
     dump_args(args, os.path.join(save_dir, "args.json"))
 
-    dtype = jnp.bfloat16 if (args.bf16 or args.use_sigma_fp16) else jnp.float32
+    # --bf16 controls the frozen eps torso; --use_sigma_fp16 independently
+    # lowers only the sigma head (reference run_edm_experiment.py:192-195)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    sigma_dtype = jnp.bfloat16 if (args.bf16 or args.use_sigma_fp16) \
+        else jnp.float32
     m = config.model
     model, head, ucfg = create_edm_sigma_eps_model(
         img_resolution=m.img_resolution, model_channels=m.get("model_channels", 128),
@@ -128,7 +132,7 @@ def main(args, config):
         num_blocks=m.get("num_blocks", 4),
         attn_resolutions=m.get("attn_resolutions", [16]),
         dropout=m.get("dropout", 0.1), sigma_block=args.sigma_block,
-        sigma_dropout=args.sigma_dropout, dtype=dtype)
+        sigma_dropout=args.sigma_dropout, dtype=dtype, sigma_dtype=sigma_dtype)
     res = m.img_resolution
 
     if args.load_eps and os.path.exists(args.load_eps):
@@ -143,27 +147,13 @@ def main(args, config):
     svars = head.init(jax.random.PRNGKey(args.seed),
                       jnp.zeros((1,) + ucfg.feat_shape), deterministic=False,
                       use_running_average=False)
-    if args.resume_model and os.path.exists(args.resume_model):
-        from ..io.checkpoints import load_pytree
-        svars = load_pytree(args.resume_model)
-        logger.log("resumed sigma model from", args.resume_model)
-    state, tx = create_sigma_train_state(
-        {"params": svars["params"],
-         "batch_stats": svars.get("batch_stats", {})},
-        lr=args.lr, weight_decay=args.weight_decay)
-    if args.resume_ema_model and os.path.exists(args.resume_ema_model):
-        from ..io.checkpoints import load_pytree
-        ema = load_pytree(args.resume_ema_model)
-        state = state.replace(ema_params=ema["params"])
-        logger.log("resumed ema from", args.resume_ema_model)
-    if args.resume_optim and os.path.exists(args.resume_optim):
-        from ..io.checkpoints import load_pytree
-        opt = load_pytree(args.resume_optim,
-                          target={"opt_state": state.opt_state,
-                                  "step": state.step})
-        state = state.replace(opt_state=opt["opt_state"],
-                              step=jnp.asarray(opt["step"]))
-        logger.log("resumed optimizer from", args.resume_optim)
+    from ..io.checkpoints import resume_sigma_state
+    state, tx = resume_sigma_state(
+        svars,
+        lambda v: create_sigma_train_state(v, lr=args.lr,
+                                           weight_decay=args.weight_decay),
+        args.resume_model, args.resume_ema_model, args.resume_optim,
+        log=logger.log)
 
     def encode_fn(p, z, t):
         return model.apply(p, z, t, method=SongUNet.encode)

@@ -26,7 +26,6 @@ from ..engine.loops import set_norm_maxmin
 from ..eval.fid import FIDComputer
 from ..io.adm_convert import convert_adm_unet
 from ..io.torch_convert import load_torch_state_dict, convert_ddim_unet
-from ..io.checkpoints import load_pytree
 from ..models.adm_unet import ADMUNet
 from ..models.ddim_unet import DDIMUNet
 from ..models.factory import create_sigma_eps_model, create_simple_sigma_eps_model
@@ -175,24 +174,13 @@ def main(args, config):
     svars = head.init(jax.random.PRNGKey(args.seed),
                       jnp.zeros((1,) + ucfg.feat_shape), deterministic=False,
                       use_running_average=False)
-    if args.resume_model and os.path.exists(args.resume_model):
-        svars = load_pytree(args.resume_model)
-        logger.log("resumed sigma model from", args.resume_model)
-
-    state, tx = create_sigma_train_state({"params": svars["params"],
-                                          "batch_stats": svars.get("batch_stats", {})},
-                                         lr=args.lr, weight_decay=args.weight_decay)
-    if args.resume_ema_model and os.path.exists(args.resume_ema_model):
-        ema = load_pytree(args.resume_ema_model)
-        state = state.replace(ema_params=ema["params"])
-        logger.log("resumed ema from", args.resume_ema_model)
-    if args.resume_optim and os.path.exists(args.resume_optim):
-        opt = load_pytree(args.resume_optim,
-                          target={"opt_state": state.opt_state,
-                                  "step": state.step})
-        state = state.replace(opt_state=opt["opt_state"],
-                              step=jnp.asarray(opt["step"]))
-        logger.log("resumed optimizer from", args.resume_optim)
+    from ..io.checkpoints import resume_sigma_state
+    state, tx = resume_sigma_state(
+        svars,
+        lambda v: create_sigma_train_state(v, lr=args.lr,
+                                           weight_decay=args.weight_decay),
+        args.resume_model, args.resume_ema_model, args.resume_optim,
+        log=logger.log)
 
     sampler = get_sampler(args.sampler, config.diffusion.num_diffusion_timesteps,
                           args.num_timesteps,

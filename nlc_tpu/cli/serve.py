@@ -96,10 +96,10 @@ class Coalescer:
             key, w = first
             group = [w]
             used = w.rows
-            deadline = time.time() + self.window
+            deadline = time.monotonic() + self.window
             deferred = []
             while used < self.batch:
-                item = self._take(max(0.0, deadline - time.time()))
+                item = self._take(max(0.0, deadline - time.monotonic()))
                 if item is None:
                     break
                 k2, w2 = item

@@ -41,6 +41,34 @@ def load_pytree(path: str, target: Any = None) -> Any:
     return cp.restore(os.path.abspath(path), item=target)
 
 
+def resume_sigma_state(svars: Any, create_state, resume_model: str = None,
+                       resume_ema_model: str = None, resume_optim: str = None,
+                       log=print):
+    """Apply the reference's three sigma-training resume flags
+    (run_image_experiment.py:73-75): model variables, EMA params, optimizer
+    state (restored into typed optax containers). `create_state` maps the
+    (possibly resumed) variables to (state, tx); shared by the ADM/DDIM and
+    EDM trainer CLIs."""
+    import jax.numpy as jnp
+
+    if resume_model and os.path.exists(resume_model):
+        svars = load_pytree(resume_model)
+        log("resumed sigma model from", resume_model)
+    state, tx = create_state({"params": svars["params"],
+                              "batch_stats": svars.get("batch_stats", {})})
+    if resume_ema_model and os.path.exists(resume_ema_model):
+        ema = load_pytree(resume_ema_model)
+        state = state.replace(ema_params=ema["params"])
+        log("resumed ema from", resume_ema_model)
+    if resume_optim and os.path.exists(resume_optim):
+        opt = load_pytree(resume_optim, target={"opt_state": state.opt_state,
+                                                "step": state.step})
+        state = state.replace(opt_state=opt["opt_state"],
+                              step=jnp.asarray(opt["step"]))
+        log("resumed optimizer from", resume_optim)
+    return state, tx
+
+
 def save_sigma_checkpoint(save_dir: str, epoch: int, state) -> None:
     """SigmaTrainState -> sigma_ckpt_{ep} / ema_sigma_ckpt_{ep} / optim_state."""
     save_pytree({"params": state.params, "batch_stats": state.batch_stats},

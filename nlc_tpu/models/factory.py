@@ -117,7 +117,7 @@ def create_edm_sigma_eps_model(img_resolution: int, in_channels: int = 3,
                                decoder_type: str = "standard",
                                resample_filter=(1, 1), sigma_block: int = 2,
                                sigma_dropout: float = 0.0, dtype=jnp.float32,
-                               **_ignored):
+                               sigma_dtype=None, **_ignored):
     cfg = SongUNetConfig(
         img_resolution=img_resolution, in_channels=in_channels,
         out_channels=out_channels, augment_dim=augment_dim,
@@ -131,5 +131,6 @@ def create_edm_sigma_eps_model(img_resolution: int, in_channels: int = 3,
     d, _, c = cfg.feat_shape
     head = EDMSigmaHead(dim=d, channels=c, n_blocks=sigma_block, out_dim=1,
                         dropout=sigma_dropout,
-                        resample_filter=tuple(resample_filter), dtype=dtype)
+                        resample_filter=tuple(resample_filter),
+                        dtype=dtype if sigma_dtype is None else sigma_dtype)
     return model, head, cfg

@@ -90,17 +90,21 @@ class CannyFilter:
     def __call__(self, img, low_threshold: Optional[float] = None,
                  high_threshold: Optional[float] = None,
                  hysteresis: bool = False):
-        return _canny_forward(self.kernels, img,
-                              low_threshold if low_threshold is None
-                              else float(low_threshold),
-                              high_threshold if high_threshold is None
-                              else float(high_threshold), bool(hysteresis))
+        # thresholds stay traced (only their presence is static), so sweeping
+        # or randomizing them never recompiles
+        return _canny_forward(
+            self.kernels, img,
+            jnp.float32(0.0 if low_threshold is None else low_threshold),
+            jnp.float32(0.0 if high_threshold is None else high_threshold),
+            low_threshold is not None, high_threshold is not None,
+            bool(hysteresis))
 
     forward = __call__
 
 
-@partial(jax.jit, static_argnames=("low", "high", "hysteresis"))
-def _canny_forward(kernels, img, low, high, hysteresis: bool):
+@partial(jax.jit, static_argnames=("has_low", "has_high", "hysteresis"))
+def _canny_forward(kernels, img, low, high, has_low: bool, has_high: bool,
+                   hysteresis: bool):
     img = jnp.asarray(img, jnp.float32)
     b, c, h, w = img.shape
     chans = [_conv(img[:, i:i + 1], kernels["gauss"]) for i in range(c)]
@@ -122,9 +126,9 @@ def _canny_forward(kernels, img, low, high, hysteresis: bool):
                              directional[:, neg_i:neg_i + 1]) > 0.0
         thin = jnp.where(oriented & ~is_max, 0.0, thin)
 
-    if low is not None:
+    if has_low:
         low_mask = thin > low
-        if high is not None:
+        if has_high:
             high_mask = thin > high
             thin = low_mask * 0.5 + high_mask * 0.5
             if hysteresis:
@@ -143,11 +147,20 @@ def _canny_forward(kernels, img, low, high, hysteresis: bool):
 class CannyDetector:
     """uint8 HWC/HW image + thresholds -> uint8 edge map (control_utils.py:13;
     the reference delegates to cv2.Canny — here the differentiable filter runs
-    with hysteresis on. Thresholds are in cv2's 0-255 gradient units and are
-    rescaled to the filter's [0,1] magnitude scale)."""
+    with hysteresis on). Thresholds come in cv2.Canny's gradient units, where
+    a full-contrast 0->255 step registers |gx|+|gy| = 4*255 = 1020 under the
+    unblurred +-1/+-2 L1 Sobel; they are rescaled by this filter's measured
+    response to the same step edge so the same numeric thresholds select
+    comparable contrast levels."""
+
+    # cv2.Canny L1 gradient of a full-contrast step edge (L2gradient=False)
+    _CV2_STEP_RESPONSE = 4.0 * 255.0
 
     def __init__(self):
         self._filter = CannyFilter()
+        step = np.zeros((1, 1, 16, 16), np.float32)
+        step[..., 8:] = 1.0
+        self._step_response = float(np.asarray(self._filter(step)[3]).max())
 
     def __call__(self, img: np.ndarray, low_threshold: float,
                  high_threshold: float) -> np.ndarray:
@@ -155,8 +168,9 @@ class CannyDetector:
         if img.ndim == 2:
             img = img[:, :, None]
         x = jnp.asarray(np.transpose(img, (2, 0, 1))[None], jnp.float32) / 255.0
-        *_, thin = self._filter(x, low_threshold / 255.0,
-                                high_threshold / 255.0, hysteresis=True)
+        scale = self._step_response / self._CV2_STEP_RESPONSE
+        *_, thin = self._filter(x, low_threshold * scale,
+                                high_threshold * scale, hysteresis=True)
         return (np.asarray(thin)[0, 0] * 255).astype(np.uint8)
 
 

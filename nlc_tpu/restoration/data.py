@@ -214,7 +214,8 @@ class VideoClipDataset:
 
     def __init__(self, dataroot_gt: str, dataroot_lq: str, num_frame: int = 3,
                  padding: str = "reflection",
-                 dataroot_flow: Optional[str] = None):
+                 dataroot_flow: Optional[str] = None,
+                 flow_max_val: float = 20.0, flow_denorm: bool = False):
         self.clips = sorted(d for d in os.listdir(dataroot_lq)
                             if os.path.isdir(os.path.join(dataroot_lq, d)))
         if not self.clips:
@@ -222,6 +223,10 @@ class VideoClipDataset:
         self.root_gt = dataroot_gt
         self.root_lq = dataroot_lq
         self.root_flow = dataroot_flow
+        # REDS stores flows quantized to [-20, 20] px without the /width
+        # normalization (reference reds_dataset.py:180-184)
+        self.flow_max_val = flow_max_val
+        self.flow_denorm = flow_denorm
         self.num_frame = num_frame
         self.padding = padding
         self.index = []          # (clip, frame_idx, n_frames_in_clip)
@@ -261,5 +266,7 @@ class VideoClipDataset:
         for tag in [f"_p{i}" for i in range(half, 0, -1)] + \
                    [f"_n{i}" for i in range(1, half + 1)]:
             path = os.path.join(self.root_flow, clip, f"{frame}{tag}.png")
-            flows.append(flowread(path, quantize_pair=True))
+            flows.append(flowread(path, quantize_pair=True,
+                                  max_val=self.flow_max_val,
+                                  denorm=self.flow_denorm))
         return flows

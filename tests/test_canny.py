@@ -78,6 +78,32 @@ def test_canny_detector_uint8():
     np.testing.assert_array_equal(edges3, edges)
 
 
+def test_threshold_sweep_no_recompile():
+    """Thresholds are traced: sweeping them reuses one compiled program."""
+    from nlc_tpu.ops.canny import _canny_forward
+    img = np.zeros((1, 1, 16, 16), np.float32)
+    img[..., 8:] = 1.0
+    f = CannyFilter()
+    before = _canny_forward._cache_size()
+    for low, high in [(0.05, 0.2), (0.1, 0.3), (0.02, 0.5), (0.3, 0.6)]:
+        f(img, low, high, hysteresis=True)
+    added = _canny_forward._cache_size() - before
+    assert added <= 1, f"{added} compilations for a threshold sweep"
+
+
+def test_detector_threshold_calibration():
+    """cv2-unit thresholds select comparable contrast: a mid-contrast edge
+    (100/255) passes cv2-typical thresholds (50, 150) but a low-contrast one
+    (20/255) does not."""
+    det = CannyDetector()
+    def square(v):
+        img = np.zeros((24, 24), np.uint8)
+        img[6:18, 6:18] = v
+        return img
+    assert det(square(100), 50, 150).sum() > 0
+    assert det(square(20), 50, 150).sum() == 0
+
+
 def test_hwc3():
     g = np.full((4, 4), 7, np.uint8)
     out = HWC3(g)

@@ -67,19 +67,25 @@ def test_video_dataset_flow_loading(tmp_path):
     rng = np.random.RandomState(3)
     for root in ("gt", "lq", "flow"):
         os.makedirs(tmp_path / root / "000")
+    written = {}
     for i in range(3):
         for root in ("gt", "lq"):
             Image.fromarray((rng.rand(8, 8, 3) * 255).astype(np.uint8)) \
                 .save(tmp_path / root / "000" / f"{i:08d}.png")
-        flow = rng.uniform(-0.01, 0.01, (8, 8, 2)).astype(np.float32)
+        # REDS convention: flows quantized in [-20, 20] px, no /width norm
+        written[i] = rng.uniform(-15, 15, (8, 8, 2)).astype(np.float32)
         for tag in ("_p1", "_n1"):
-            flowwrite(flow, str(tmp_path / "flow" / "000" / f"{i:08d}{tag}.png"),
-                      quantize_pair=True)
+            flowwrite(written[i],
+                      str(tmp_path / "flow" / "000" / f"{i:08d}{tag}.png"),
+                      quantize_pair=True, max_val=20, norm=False)
     ds = VideoClipDataset(str(tmp_path / "gt"), str(tmp_path / "lq"),
                           num_frame=3, dataroot_flow=str(tmp_path / "flow"))
     lq, gt, flows = ds[1]
     assert lq.shape == (8, 8, 9) and gt.shape == (8, 8, 3)
     assert len(flows) == 2 and flows[0].shape == (8, 8, 2)
+    # dequantization uses the REDS parameters: values come back within half
+    # a bucket (40/255/2) of what was written for the CENTER frame (index 1)
+    assert np.abs(flows[0] - written[1]).max() <= 40 / 255 / 2 + 1e-6
     # without a flow root the item stays a 2-tuple (backward compatible)
     ds2 = VideoClipDataset(str(tmp_path / "gt"), str(tmp_path / "lq"),
                            num_frame=3)
