@@ -126,6 +126,12 @@ def get_args(argv=None):
     p.add_argument("--method", type=str, default="pred_denoise_base",
                    choices=METHOD_CHOICES)
     p.add_argument("--return_log", type=int, default=0)
+    # parallel-in-time (Picard) sampling — beyond-parity latency extension
+    # (engine/parallel_sampler.py): W window points evaluated as one batched
+    # UNet call, K iterations per window; K=W is bit-exact sequential DDIM.
+    # Deterministic unconstrained sampling only (eta 0, sigma_type base).
+    p.add_argument("--parallel_window", type=int, default=0)
+    p.add_argument("--picard_iters", type=int, default=0)
     p.add_argument("--bf16", type=int, default=1)
 
     args = p.parse_args(argv)
@@ -418,6 +424,21 @@ def main(args, config):
     def make_run_fn(cf=None):
         """Unconstrained: fn(xT, seeds). Constrained: fn(xT, seeds, y) with y
         traced, so one compile serves every batch."""
+        if cf is None and args.parallel_window > 0:
+            from ..engine.parallel_sampler import build_picard_sampler
+            n_steps = len(np.asarray(sampler.timesteps)) - 1
+            if n_steps % args.parallel_window != 0:
+                raise SystemExit(f"--parallel_window must divide the "
+                                 f"{n_steps}-step grid")
+            if args.eta != 0 or args.sigma_type != "base":
+                logger.log("WARNING: parallel sampling integrates the "
+                           "deterministic base ODE; eta/sigma_type ignored")
+            iters = args.picard_iters or max(1, args.parallel_window // 2)
+            run_p = build_picard_sampler(sampler, bundle.forward,
+                                         window=args.parallel_window,
+                                         iters=iters,
+                                         learn_epsvar=bundle.learn_epsvar)
+            return lambda xT, seeds: (run_p(params, xT), {})
         if cf is None:
             jitted = jax.jit(lambda p, sv, xT, seeds: loop(
                 sampler, bundle, dn_cfg, p, sv, xT, seeds))

@@ -112,6 +112,25 @@ def test_train_cli_and_resume(store, tmp_path):
     assert int(np.asarray(opt2["step"])) == 4
 
 
+def test_image_sample_parallel_picard(store, tmp_path):
+    """--parallel_window: parallel-in-time sampling through the CLI (smoke +
+    bad-window error)."""
+    from nlc_tpu.cli.image_sample import get_args, main
+    common = ["--config", "celeba", "--config_path", "tiny", "--store_dir",
+              store, "--method", "base", "--sampling", "denoise",
+              "--num_timesteps", "4", "--max_T", "4", "--sample_size", "2",
+              "--batch_size", "2", "--bf16", "0", "--eta", "0.0"]
+    args, config = get_args(common + ["--parallel_window", "2",
+                                      "--picard_iters", "2",
+                                      "--test_dir", str(tmp_path / "pp")])
+    main(args, config)
+    assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
+    args2, config2 = get_args(common + ["--parallel_window", "3",
+                                        "--test_dir", str(tmp_path / "bad")])
+    with pytest.raises(SystemExit):
+        main(args2, config2)
+
+
 def test_edm_train_cli_and_resume(store, tmp_path):
     """EDM sigma-trainer CLI smoke (synthetic data, random frozen eps) +
     --load_folder / resume flags (reference run_edm_experiment.py:63-69)."""
