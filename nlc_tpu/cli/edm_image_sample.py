@@ -73,6 +73,10 @@ def get_args(argv=None):
                    choices=["Linear", "EDM"])
     p.add_argument("--eps_ratio", type=float, default=0.5)
     p.add_argument("--eps_scale", type=float, default=1.0)
+    # Restart sampling (arXiv:2306.14878) — beyond-parity extension:
+    # 't_min,t_max,K,n[;...]' intervals (engine/restart.py)
+    p.add_argument("--restart", type=str, default="")
+    p.add_argument("--restart_S_noise", type=float, default=1.0)
     p.add_argument("--no_eps_scale", action="store_true",
                    help="use cosine-similarity rescale (reference eps_scale=None)")
     p.add_argument("--eta", type=float, default=1.0)
@@ -207,7 +211,15 @@ def main(args, config):
         eps_scale=None if args.no_eps_scale else args.eps_scale,
         use_second_order=bool(args.use_second_order), norm_max=nmax,
         norm_min=nmin)
-    sample_fn = build_edm_sampler(bundle, scfg, (res, res, 3))
+    if args.restart:
+        from ..engine.restart import build_restart_sampler, parse_restart_spec
+        intervals = parse_restart_spec(args.restart)
+        logger.log("restart sampling:", intervals)
+        sample_fn = build_restart_sampler(bundle, scfg, intervals,
+                                          (res, res, 3),
+                                          S_noise_restart=args.restart_S_noise)
+    else:
+        sample_fn = build_edm_sampler(bundle, scfg, (res, res, 3))
 
     fid = None
     if args.fid_target and os.path.exists(args.fid_target):

@@ -124,6 +124,55 @@ def _denoise_vector(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars
     return eps, denoised, sigma_t, sigma_prev
 
 
+def heun_step(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
+              seeds, sample_shape, x_cur, sigma_cur, sigma_next0, gamma,
+              second, ind):
+    """One churn + Euler + optional Heun sub-step pair on (B,1,1,1) sigmas —
+    the scan body of edm_sampler, shared with engine/restart.py."""
+    batch = seeds.shape[0]
+    dim = float(np.prod(sample_shape))
+    style_t, style_next = cfg.style.split(",")
+    ne_euler = bool(int(cfg.norm_eps[0]))
+    ne_comb = bool(int(cfg.norm_eps[1]))
+
+    sigma_hat0 = sigma_cur * (1.0 + gamma)
+    churn = per_sample_step_noise(seeds, ind, sample_shape, stream=7)
+    x_hat = x_cur + jnp.sqrt(jnp.clip(sigma_hat0 ** 2 - sigma_cur ** 2, a_min=0)) \
+        * cfg.S_noise * churn
+
+    eps, denoised, sigma_hat, sigma_next = _denoise_vector(
+        bundle, cfg, params, svars, x_hat, sigma_hat0, sigma_next0,
+        style_t, ne_euler, dim)
+    eps = eps * (sigma_hat / sigma_hat0)
+    if "pred_partial" in style_t:
+        sigma_next = sigma_next0
+    if style_t == "pred_partial":
+        x_next = x_hat + (sigma_next - sigma_hat0) * eps
+    else:
+        x_next = x_hat + (sigma_next - sigma_hat) * eps
+    if style_t == "pred_partial3":
+        sigma_hat = sigma_hat0
+
+    def second_order(x_next):
+        eps_next, _, sigma_next_c, _ = _denoise_vector(
+            bundle, cfg, params, svars, x_next, sigma_next0,
+            jnp.zeros_like(sigma_next0), style_next, ne_euler, dim)
+        eps_n = eps_next * (sigma_next_c / jnp.where(sigma_next0 == 0, 1.0,
+                                                     sigma_next0))
+        sig_n = sigma_next0 if "pred_partial" in style_next else sigma_next_c
+        new_eps = cfg.eps_ratio * eps + (1 - cfg.eps_ratio) * eps_n
+        if ne_comb:
+            new_eps = normalize(new_eps, int(dim))
+        if cfg.eps_scale is not None:
+            new_eps = new_eps / cfg.eps_scale
+        else:
+            cs = cosine_similarity(new_eps, eps).reshape(batch, 1, 1, 1)
+            new_eps = new_eps * cs
+        return x_hat + (sig_n - sigma_hat) * new_eps
+
+    return jax.lax.cond(second, second_order, lambda xn: xn, x_next)
+
+
 def edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
                 seeds: jnp.ndarray, sample_shape: Tuple[int, ...],
                 latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -132,10 +181,6 @@ def edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
     n = cfg.num_steps
     grid = edm_sigma_grid(cfg)
     batch = seeds.shape[0]
-    dim = float(np.prod(sample_shape))
-    style_t, style_next = cfg.style.split(",")
-    ne_euler = bool(int(cfg.norm_eps[0]))
-    ne_comb = bool(int(cfg.norm_eps[1]))
 
     gammas = np.where((cfg.S_min <= grid[:-1]) & (grid[:-1] <= cfg.S_max),
                       min(cfg.S_churn / n, math.sqrt(2) - 1), 0.0)
@@ -157,45 +202,9 @@ def edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
                                 (batch, 1, 1, 1))
 
     def step(x, s):
-        x_cur = x
-        sigma_cur = bcast(s["sigma_cur"])
-        sigma_next0 = bcast(s["sigma_next"])
-        sigma_hat0 = sigma_cur * (1.0 + s["gamma"])
-        churn = per_sample_step_noise(seeds, s["ind"], sample_shape, stream=7)
-        x_hat = x_cur + jnp.sqrt(jnp.clip(sigma_hat0 ** 2 - sigma_cur ** 2, a_min=0)) \
-            * cfg.S_noise * churn
-
-        eps, denoised, sigma_hat, sigma_next = _denoise_vector(
-            bundle, cfg, params, svars, x_hat, sigma_hat0, sigma_next0,
-            style_t, ne_euler, dim)
-        eps = eps * (sigma_hat / sigma_hat0)
-        if "pred_partial" in style_t:
-            sigma_next = sigma_next0
-        if style_t == "pred_partial":
-            x_next = x_hat + (sigma_next - sigma_hat0) * eps
-        else:
-            x_next = x_hat + (sigma_next - sigma_hat) * eps
-        if style_t == "pred_partial3":
-            sigma_hat = sigma_hat0
-
-        def second_order(x_next):
-            eps_next, _, sigma_next_c, _ = _denoise_vector(
-                bundle, cfg, params, svars, x_next, sigma_next0,
-                jnp.zeros_like(sigma_next0), style_next, ne_euler, dim)
-            eps_n = eps_next * (sigma_next_c / jnp.where(sigma_next0 == 0, 1.0,
-                                                         sigma_next0))
-            sig_n = sigma_next0 if "pred_partial" in style_next else sigma_next_c
-            new_eps = cfg.eps_ratio * eps + (1 - cfg.eps_ratio) * eps_n
-            if ne_comb:
-                new_eps = normalize(new_eps, int(dim))
-            if cfg.eps_scale is not None:
-                new_eps = new_eps / cfg.eps_scale
-            else:
-                cs = cosine_similarity(new_eps, eps).reshape(batch, 1, 1, 1)
-                new_eps = new_eps * cs
-            return x_hat + (sig_n - sigma_hat) * new_eps
-
-        x_next = jax.lax.cond(s["second"], second_order, lambda xn: xn, x_next)
+        x_next = heun_step(bundle, cfg, params, svars, seeds, sample_shape,
+                           x, bcast(s["sigma_cur"]), bcast(s["sigma_next"]),
+                           s["gamma"], s["second"], s["ind"])
         return x_next, None
 
     x_final, _ = jax.lax.scan(step, x0, xs)

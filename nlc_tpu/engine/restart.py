@@ -1,0 +1,170 @@
+"""Restart sampling for the EDM Heun loop — beyond-parity extension.
+
+Implements "Restart Sampling for Improving Generative Processes"
+(arXiv:2306.14878): run the (mostly deterministic) Heun sampler, and inside
+chosen sigma intervals [t_min, t_max] repeat K times: jump back up by adding
+fresh noise of variance (t_max² − σ²), then re-integrate down. The forward
+noise jumps contract accumulated error faster than the small per-step churn
+of SDE samplers, improving quality per NFE.
+
+TPU-first design: instead of a dynamic loop, the whole schedule — main grid
+steps, noise jumps, and K re-descents per interval — is precomputed host-side
+into one flat step plan (sigma_cur, sigma_next, is_jump, gamma, second, ind),
+and executed by a single jitted lax.scan whose body is the same Heun step as
+engine/edm.py (shared _denoise_vector, so every NLC sub-step style works
+inside restarts too). With no intervals the plan equals the main grid and the
+output is bit-identical to edm_sampler (asserted in tests).
+
+Noise streams: main steps keep edm_sampler's per-step churn stream; jump
+steps draw from a dedicated stream keyed by their plan index, so image i
+stays independent of batching (StackedRandomGenerator parity).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.rng import per_sample_step_noise
+from .edm import EDMModelBundle, EDMSamplerConfig, edm_sigma_grid, heun_step
+
+
+@dataclass(frozen=True)
+class RestartInterval:
+    """One restart window (paper Table 8 style): K repetitions of
+    [noise-jump to t_max, n_steps-point descent back to t_min]."""
+    t_min: float
+    t_max: float
+    K: int = 1
+    n_steps: int = 4
+
+
+def _inner_grid(t_max: float, t_min: float, n: int, rho: float) -> np.ndarray:
+    """EDM rho-spaced descent grid with n points from t_max to t_min."""
+    i = np.arange(n, dtype=np.float64)
+    return (t_max ** (1 / rho)
+            + i / (n - 1) * (t_min ** (1 / rho) - t_max ** (1 / rho))) ** rho
+
+
+def build_restart_plan(cfg: EDMSamplerConfig,
+                       restarts: Sequence[RestartInterval]):
+    """Flatten main grid + restart blocks into per-step arrays.
+
+    Returns dict of numpy arrays (sigma_cur, sigma_next, jump, gamma, second,
+    ind) with len = n_main + sum_i K_i * n_steps_i. `ind` keeps the main
+    steps' original indices (bit-parity with edm_sampler when restarts=[]);
+    restart-block steps get fresh indices past the main grid.
+    """
+    grid = edm_sigma_grid(cfg)                       # (n+1,), grid[-1] = 0
+    n = cfg.num_steps
+    gamma_of = lambda s: (min(cfg.S_churn / n, math.sqrt(2) - 1)
+                          if cfg.S_min <= s <= cfg.S_max else 0.0)
+    # each interval fires once: at the first main step whose sigma_next
+    # drops to/under its t_min (paper: restart when passing t_min)
+    pending = sorted(restarts, key=lambda r: -r.t_min)
+    sig_cur, sig_next, jump, gam, second, ind = [], [], [], [], [], []
+    extra = n  # noise index for inserted steps
+
+    def emit(s0, s1, is_jump, is_second, i):
+        sig_cur.append(s0); sig_next.append(s1); jump.append(is_jump)
+        gam.append(0.0 if is_jump else gamma_of(s0))
+        second.append(is_second); ind.append(i)
+
+    for j in range(n):
+        emit(grid[j], grid[j + 1], False, j < n - 1, j)
+        # the appended terminal sigma=0 never triggers a restart (j+1 == n)
+        while pending and j + 1 < n and grid[j + 1] <= pending[0].t_min:
+            r = pending.pop(0)
+            if r.t_max <= grid[j + 1]:
+                raise ValueError(f"restart t_max {r.t_max} must exceed the "
+                                 f"grid sigma {grid[j + 1]} at its t_min")
+            inner = _inner_grid(r.t_max, float(grid[j + 1]), r.n_steps + 1,
+                                cfg.rho)
+            for _ in range(r.K):
+                emit(grid[j + 1], r.t_max, True, False, extra)   # noise jump
+                extra += 1
+                for m in range(r.n_steps):
+                    emit(inner[m], inner[m + 1], False, m < r.n_steps - 1,
+                         extra)
+                    extra += 1
+    if pending:
+        raise ValueError(f"restart intervals below the grid minimum sigma "
+                         f"{grid[-2]}: {pending}")
+    return {
+        "sigma_cur": np.asarray(sig_cur, np.float32),
+        "sigma_next": np.asarray(sig_next, np.float32),
+        "jump": np.asarray(jump),
+        "gamma": np.asarray(gam, np.float32),
+        "second": np.asarray(second) & cfg.use_second_order,
+        "ind": np.asarray(ind),
+    }
+
+
+def restart_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig,
+                    restarts: Sequence[RestartInterval], params, svars,
+                    seeds: jnp.ndarray, sample_shape: Tuple[int, ...],
+                    S_noise_restart: float = 1.0,
+                    latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    plan = build_restart_plan(cfg, restarts)
+    xs = {k: jnp.asarray(v) for k, v in plan.items()}
+    batch = seeds.shape[0]
+    grid0 = float(edm_sigma_grid(cfg)[0])
+
+    if latents is None:
+        latents = per_sample_step_noise(seeds, jnp.asarray(0), sample_shape,
+                                        stream=2000003)
+    x0 = latents * grid0
+
+    def bcast(v):
+        return jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1, 1, 1, 1),
+                                (batch, 1, 1, 1))
+
+    def step(x, s):
+        sigma_cur = bcast(s["sigma_cur"])
+        sigma_next0 = bcast(s["sigma_next"])
+
+        def jump_up(x_cur):
+            # forward jump: Var = t_max² − σ² (paper eq. 4)
+            noise = per_sample_step_noise(seeds, s["ind"], sample_shape,
+                                          stream=11)
+            return x_cur + jnp.sqrt(jnp.clip(sigma_next0 ** 2 - sigma_cur ** 2,
+                                             a_min=0.0)) \
+                * S_noise_restart * noise
+
+        def heun(x_cur):
+            return heun_step(bundle, cfg, params, svars, seeds, sample_shape,
+                             x_cur, sigma_cur, sigma_next0, s["gamma"],
+                             s["second"], s["ind"])
+
+        return jax.lax.cond(s["jump"], jump_up, heun, x), None
+
+    x_final, _ = jax.lax.scan(step, x0, xs)
+    return x_final
+
+
+def build_restart_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig,
+                          restarts: Sequence[RestartInterval],
+                          sample_shape: Tuple[int, ...],
+                          S_noise_restart: float = 1.0):
+    fn = partial(restart_sampler, bundle, cfg, restarts,
+                 sample_shape=sample_shape, S_noise_restart=S_noise_restart)
+    return jax.jit(lambda params, svars, seeds: fn(params, svars, seeds=seeds))
+
+
+def parse_restart_spec(spec: str) -> Tuple[RestartInterval, ...]:
+    """'t_min,t_max,K,n[;t_min,...]' -> intervals (CLI surface)."""
+    out = []
+    for part in spec.split(";"):
+        if not part.strip():
+            continue
+        vals = part.split(",")
+        if len(vals) != 4:
+            raise ValueError(f"restart spec needs t_min,t_max,K,n: {part!r}")
+        out.append(RestartInterval(t_min=float(vals[0]), t_max=float(vals[1]),
+                                   K=int(vals[2]), n_steps=int(vals[3])))
+    return tuple(out)

@@ -78,6 +78,19 @@ def test_edm_sample_cli(store, tmp_path):
     assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
 
 
+def test_edm_sample_cli_restart(store, tmp_path):
+    """--restart: Restart-sampling intervals through the EDM CLI."""
+    from nlc_tpu.cli.edm_image_sample import get_args, main
+    args, config = get_args([
+        "--config", "cifar10", "--config_path", "tinyedm", "--store_dir", store,
+        "--num_timesteps", "4", "--sample_size", "2", "--batch_size", "2",
+        "--bf16", "0", "--sigma_type", "base,base",
+        "--restart", "1.0,10.0,1,2",
+        "--test_dir", str(tmp_path / "edmr")])
+    main(args, config)
+    assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
+
+
 def test_train_cli_and_resume(store, tmp_path):
     from nlc_tpu.cli.run_image_experiment import get_args, main
     args, config = get_args([
