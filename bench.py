@@ -123,14 +123,16 @@ def main():
     log("compiling + warmup...")
     t0c = time.time()
     out, _ = fn(params, svars, xT, seeds)
-    out.block_until_ready()
+    np.asarray(out)   # host fetch: on the tunneled axon platform
+    # block_until_ready can return before remote execution finishes, so
+    # timings must be fenced by a device->host copy of the result
     log(f"compile+first run: {time.time()-t0c:.1f}s")
 
     n_iters = 3
     t0r = time.time()
     for _ in range(n_iters):
         out, _ = fn(params, svars, xT, seeds)
-    out.block_until_ready()
+        np.asarray(out)
     dt = (time.time() - t0r) / n_iters
     imgs_per_sec = batch / dt
     log(f"batch {batch}, {steps} steps: {dt:.3f}s/batch -> {imgs_per_sec:.3f} img/s")
