@@ -1,1 +1,3 @@
 from .attention import fused_attention, use_pallas_attention
+from .canny import (CannyFilter, CannyDetector, HWC3, create_image_grid,
+                    get_edge_hint, get_canny_edges)
