@@ -21,16 +21,13 @@ fixed K so the whole sampler is two nested scans compiled once.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..sched.samplers import Sampler
-from ..utils.rng import per_sample_step_noise
 
 
 def picard_ddim_sampler(sampler: Sampler, forward_fn, params,

@@ -282,7 +282,6 @@ def _variant(name: str, **block_kw):
     """Register a NAFNet skeleton with a different block mechanism
     (reference CANet/NOANet/SPANet/SSANet/SCSANet/SSSANet/SSCSANet/RSPANet/
     NSPANet *_arch.py files — identical nets, different block attention)."""
-    import functools
 
     def ctor(**kw):
         return NAFNet(**{**block_kw, **kw})

@@ -8,7 +8,6 @@ mesh; host 0 does IO.
 """
 from __future__ import annotations
 
-import math
 import os
 import time
 from dataclasses import dataclass
@@ -20,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..engine import DenoiseConfig, ModelBundle, denoise_loop, init_noise
-from ..engine.edm import EDMModelBundle, EDMSamplerConfig
+from ..engine.edm import EDMSamplerConfig
 from ..eval.fid import FIDComputer
 from ..io.checkpoints import save_sigma_checkpoint
 from ..parallel.mesh import is_primary
