@@ -192,6 +192,10 @@ class NAFNet(nn.Module):
     clip_heads: int = 8
     clip_embed_dim: int = 512
     clip_ctx_len: int = 77
+    # rematerialize each block in the backward pass (jax.checkpoint): deep
+    # configs (e.g. NAFNet-width32 SIDD, 36 blocks) train at 256² within a
+    # 16 GB chip's HBM at the cost of one extra forward per block
+    remat: bool = False
 
     @property
     def frozen_prefixes(self) -> Tuple[str, ...]:
@@ -203,13 +207,16 @@ class NAFNet(nn.Module):
         return ()
 
     def _block(self, name, enc_level=None):
+        # deterministic (argnum 2, counting self) is a Python bool -> static
+        cls = nn.remat(NAFBlock, static_argnums=(2,)) if self.remat \
+            else NAFBlock
         if enc_level is not None and enc_level in self.spa_enc_levels:
-            return NAFBlock(drop_out_rate=self.drop_out_rate,
-                            tlc_window=self.tlc_window, conv_attn="sca",
-                            ffn_attn="prompt", name=name)
-        return NAFBlock(drop_out_rate=self.drop_out_rate,
-                        tlc_window=self.tlc_window, conv_attn=self.conv_attn,
-                        ffn_attn=self.ffn_attn, name=name)
+            return cls(drop_out_rate=self.drop_out_rate,
+                       tlc_window=self.tlc_window, conv_attn="sca",
+                       ffn_attn="prompt", name=name)
+        return cls(drop_out_rate=self.drop_out_rate,
+                   tlc_window=self.tlc_window, conv_attn=self.conv_attn,
+                   ffn_attn=self.ffn_attn, name=name)
 
     def _text_features(self):
         """One frozen-CLIP pass over all learned prompts -> (ft_num, 512),
