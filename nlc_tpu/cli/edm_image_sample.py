@@ -160,7 +160,7 @@ def build(args, config):
         params = {"params": convert_song_unet(sd, ucfg)}
         logger.log(f"loaded eps model from {args.load_eps}")
     else:
-        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
                             jnp.zeros((1,)))
         logger.log("WARNING: no eps checkpoint — random init (smoke mode)")
     if args.load_sigma and os.path.exists(args.load_sigma):

@@ -214,7 +214,7 @@ def build_models_and_params(args, config):
         params = {"params": convert_unet(sd)}
         logger.log(f"loaded eps model from {args.load_eps}")
     else:
-        params = model.init(jax.random.PRNGKey(0), x0, t0)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, t0)
         logger.log("WARNING: no eps checkpoint — random init (smoke mode)")
     if args.load_sigma and os.path.exists(args.load_sigma):
         ssd = load_torch_state_dict(args.load_sigma)

@@ -140,7 +140,7 @@ def main(args, config):
         frozen_params = {"params": convert_song_unet(sd, ucfg)}
         logger.log("loaded eps from", args.load_eps)
     else:
-        frozen_params = model.init(jax.random.PRNGKey(0),
+        frozen_params = jax.jit(model.init)(jax.random.PRNGKey(0),
                                    jnp.zeros((1, res, res, 3)), jnp.zeros((1,)))
         logger.log("WARNING: random frozen eps (smoke mode)")
 
