@@ -424,6 +424,12 @@ def main(args, config):
     def make_run_fn(cf=None):
         """Unconstrained: fn(xT, seeds). Constrained: fn(xT, seeds, y) with y
         traced, so one compile serves every batch."""
+        if args.parallel_window > 0 and (cf is not None
+                                         or args.sampling == "project"):
+            # never silently substitute a different sampler for constrained
+            # or projection runs — the flag only covers the plain ODE
+            raise SystemExit("--parallel_window supports unconstrained "
+                             "--sampling denoise only")
         if cf is None and args.parallel_window > 0:
             from ..engine.parallel_sampler import build_picard_sampler
             n_steps = len(np.asarray(sampler.timesteps)) - 1

@@ -173,6 +173,17 @@ def heun_step(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
     return jax.lax.cond(second, second_order, lambda xn: xn, x_next)
 
 
+def init_edm_latents(cfg: EDMSamplerConfig, seeds: jnp.ndarray,
+                     sample_shape: Tuple[int, ...],
+                     latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x_0 = sigma_max * per-sample-seeded latents — the one latent-seeding
+    convention (stream 2000003) shared by edm_sampler and restart_sampler."""
+    if latents is None:
+        latents = per_sample_step_noise(seeds, jnp.asarray(0), sample_shape,
+                                        stream=2000003)
+    return latents * float(edm_sigma_grid(cfg)[0])
+
+
 def edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
                 seeds: jnp.ndarray, sample_shape: Tuple[int, ...],
                 latents: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -192,10 +203,7 @@ def edm_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
         "second": jnp.asarray(np.arange(n) < n - 1) & cfg.use_second_order,
     }
 
-    if latents is None:
-        latents = per_sample_step_noise(seeds, jnp.asarray(0), sample_shape,
-                                        stream=2000003)
-    x0 = latents * grid[0]
+    x0 = init_edm_latents(cfg, seeds, sample_shape, latents)
 
     def bcast(v):
         return jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1, 1, 1, 1),

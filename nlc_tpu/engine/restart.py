@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.rng import per_sample_step_noise
-from .edm import EDMModelBundle, EDMSamplerConfig, edm_sigma_grid, heun_step
+from .edm import (EDMModelBundle, EDMSamplerConfig, edm_sigma_grid, heun_step,
+                  init_edm_latents)
 
 
 @dataclass(frozen=True)
@@ -42,6 +43,15 @@ class RestartInterval:
     t_max: float
     K: int = 1
     n_steps: int = 4
+
+    def __post_init__(self):
+        if self.t_max <= self.t_min:
+            raise ValueError(f"restart t_max ({self.t_max}) must exceed "
+                             f"t_min ({self.t_min})")
+        if self.K < 1:
+            raise ValueError(f"restart K must be >= 1, got {self.K}")
+        if self.n_steps < 1:
+            raise ValueError(f"restart n_steps must be >= 1, got {self.n_steps}")
 
 
 def _inner_grid(t_max: float, t_min: float, n: int, rho: float) -> np.ndarray:
@@ -80,17 +90,21 @@ def build_restart_plan(cfg: EDMSamplerConfig,
         # the appended terminal sigma=0 never triggers a restart (j+1 == n)
         while pending and j + 1 < n and grid[j + 1] <= pending[0].t_min:
             r = pending.pop(0)
-            if r.t_max <= grid[j + 1]:
-                raise ValueError(f"restart t_max {r.t_max} must exceed the "
-                                 f"grid sigma {grid[j + 1]} at its t_min")
+            # t_max > t_min >= grid[j+1] is guaranteed by the interval's
+            # own validation plus the trigger condition
+            assert r.t_max > grid[j + 1], (r, grid[j + 1])
             inner = _inner_grid(r.t_max, float(grid[j + 1]), r.n_steps + 1,
                                 cfg.rho)
             for _ in range(r.K):
                 emit(grid[j + 1], r.t_max, True, False, extra)   # noise jump
                 extra += 1
                 for m in range(r.n_steps):
-                    emit(inner[m], inner[m + 1], False, m < r.n_steps - 1,
-                         extra)
+                    # every descent step keeps the Heun correction: unlike
+                    # the main grid's terminal step, the descent endpoint
+                    # sigma (grid[j+1]) is nonzero, so the denoiser is
+                    # defined there and dropping 2nd order would add
+                    # O(dsigma^2) error per repetition
+                    emit(inner[m], inner[m + 1], False, True, extra)
                     extra += 1
     if pending:
         raise ValueError(f"restart intervals below the grid minimum sigma "
@@ -113,12 +127,7 @@ def restart_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig,
     plan = build_restart_plan(cfg, restarts)
     xs = {k: jnp.asarray(v) for k, v in plan.items()}
     batch = seeds.shape[0]
-    grid0 = float(edm_sigma_grid(cfg)[0])
-
-    if latents is None:
-        latents = per_sample_step_noise(seeds, jnp.asarray(0), sample_shape,
-                                        stream=2000003)
-    x0 = latents * grid0
+    x0 = init_edm_latents(cfg, seeds, sample_shape, latents)
 
     def bcast(v):
         return jnp.broadcast_to(jnp.asarray(v, jnp.float32).reshape(-1, 1, 1, 1),

@@ -61,6 +61,10 @@ def test_plan_with_interval_structure():
     assert plan["sigma_next"][jumps[0] + 3] == pytest.approx(grid[4], rel=1e-6)
     # noise indices are unique (distinct per-step streams)
     assert len(set(plan["ind"].tolist())) == len(plan["ind"])
+    # descent steps keep the Heun correction (their endpoints are nonzero
+    # sigmas, unlike the main grid's terminal step)
+    for j in jumps:
+        assert plan["second"][j + 1:j + 4].all()
 
 
 def test_restart_bit_parity_without_intervals():
@@ -92,9 +96,12 @@ def test_restart_with_interval_runs():
 def test_restart_invalid_interval():
     cfg = EDMSamplerConfig(num_steps=6)
     grid = edm_sigma_grid(cfg)
-    with pytest.raises(ValueError):   # t_max below the trigger sigma
-        build_restart_plan(cfg, [RestartInterval(t_min=float(grid[3]),
-                                                 t_max=float(grid[5]))])
+    with pytest.raises(ValueError):   # t_max below t_min
+        RestartInterval(t_min=float(grid[3]), t_max=float(grid[5]))
+    with pytest.raises(ValueError):   # degenerate repetition / step counts
+        RestartInterval(t_min=0.1, t_max=1.0, K=0)
+    with pytest.raises(ValueError):
+        RestartInterval(t_min=0.1, t_max=1.0, n_steps=0)
     with pytest.raises(ValueError):   # interval below the grid minimum
         build_restart_plan(cfg, [RestartInterval(t_min=1e-9, t_max=1.0)])
 
