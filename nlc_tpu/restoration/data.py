@@ -3,9 +3,9 @@
 Parity with reference basicsr/data: PairedImageDataset (lq/gt folder pairs),
 paired random crop, flip/rotation augmentation (transforms.py), and the
 dataset-enlarging sampler semantics (EnlargedSampler: iterate an enlarged
-virtual epoch). LMDB backends are gated (lmdb is not in this image) — folder
-datasets cover the capability; the file_client abstraction accepts an lmdb
-path and raises a clear error.
+virtual epoch). LMDB roots (basicsr file_client.py:82-155 layout) work with
+or without the lmdb package: ImageRoot prefers the real binding and falls
+back to the pure-Python lmdb_lite reader.
 """
 from __future__ import annotations
 
@@ -41,19 +41,80 @@ def paired_augment(gt: np.ndarray, lq: np.ndarray, hflip: bool, rot: bool,
     return gt, lq
 
 
+class ImageRoot:
+    """Folder or `.lmdb` image source with one (stems, load) interface.
+
+    LMDB roots follow the basicsr layout (reference utils/lmdb_util.py /
+    utils/file_client.py:82-155): encoded image bytes keyed by the filename
+    stem, plus a meta_info.txt of "name.ext (h,w,c) level" lines. Reading
+    prefers the real `lmdb` package when importable and falls back to the
+    pure-Python lmdb_lite reader, so `.lmdb` roots work without the package.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self.is_lmdb = root.endswith(".lmdb")
+        if not self.is_lmdb:
+            names = sorted(os.listdir(root))
+            self._by_stem = {os.path.splitext(n)[0]: n for n in names}
+            self.stems = sorted(self._by_stem)
+            return
+        meta = os.path.join(root, "meta_info.txt")
+        self._reader = self._open(root)
+        if os.path.exists(meta):
+            with open(meta) as f:
+                self.stems = [os.path.splitext(line.split(" ")[0])[0]
+                              for line in f if line.strip()]
+        else:
+            self.stems = [k.decode() for k in self._reader_keys()]
+
+    @staticmethod
+    def _open(root):
+        try:
+            import lmdb
+            env = lmdb.open(root, readonly=True, lock=False, readahead=False,
+                            meminit=False)
+            return ("lmdb", env)
+        except ImportError:
+            from .lmdb_lite import LmdbReader
+            return ("lite", LmdbReader(root))
+
+    def _reader_keys(self):
+        kind, r = self._reader
+        if kind == "lmdb":
+            with r.begin() as txn:
+                return [k for k, _ in txn.cursor()]
+        return list(r.keys())
+
+    def load(self, stem: str) -> np.ndarray:
+        """Image as float32 HWC RGB in [0, 1]."""
+        if not self.is_lmdb:
+            path = os.path.join(self.root, self._by_stem[stem])
+            img = Image.open(path)
+        else:
+            kind, r = self._reader
+            if kind == "lmdb":
+                with r.begin() as txn:
+                    buf = txn.get(stem.encode())
+            else:
+                buf = r.get(stem.encode())
+            if buf is None:
+                raise KeyError(f"{stem} not in {self.root}")
+            import io as _io
+            img = Image.open(_io.BytesIO(buf))
+        return np.asarray(img.convert("RGB"), np.float32) / 255.0
+
+
 class PairedImageDataset:
-    """lq/gt folder pairs matched by filename."""
+    """lq/gt pairs matched by filename stem; each root is a folder or a
+    basicsr-layout `.lmdb` environment."""
 
     def __init__(self, dataroot_gt: str, dataroot_lq: str, gt_size: int = 256,
                  scale: int = 1, phase: str = "train", use_flip: bool = True,
                  use_rot: bool = True, seed: int = 0):
-        if dataroot_gt.endswith(".lmdb") or dataroot_lq.endswith(".lmdb"):
-            raise NotImplementedError(
-                "LMDB backends need the lmdb package (not in this image); "
-                "extract to folders instead")
-        self.gt_files = sorted(os.listdir(dataroot_gt))
-        self.root_gt = dataroot_gt
-        self.root_lq = dataroot_lq
+        self.gt_root = ImageRoot(dataroot_gt)
+        self.lq_root = ImageRoot(dataroot_lq)
+        self.stems = self.gt_root.stems
         self.gt_size = gt_size
         self.scale = scale
         self.phase = phase
@@ -62,14 +123,12 @@ class PairedImageDataset:
         self.rng = random.Random(seed)
 
     def __len__(self):
-        return len(self.gt_files)
+        return len(self.stems)
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
-        name = self.gt_files[i]
-        gt = np.asarray(Image.open(os.path.join(self.root_gt, name))
-                        .convert("RGB"), np.float32) / 255.0
-        lq_path = os.path.join(self.root_lq, name)
-        lq = np.asarray(Image.open(lq_path).convert("RGB"), np.float32) / 255.0
+        stem = self.stems[i]
+        gt = self.gt_root.load(stem)
+        lq = self.lq_root.load(stem)
         if self.phase == "train":
             gt, lq = paired_random_crop(gt, lq, self.gt_size, self.scale, self.rng)
             gt, lq = paired_augment(gt, lq, self.use_flip, self.use_rot, self.rng)
@@ -117,20 +176,14 @@ class SingleImageDataset:
     yields (lq, path) pairs for demo/visualization runs with no ground truth."""
 
     def __init__(self, dataroot_lq: str):
-        if dataroot_lq.endswith(".lmdb"):
-            raise NotImplementedError(
-                "LMDB backends need the lmdb package (not in this image); "
-                "extract to folders instead")
-        self.files = sorted(os.listdir(dataroot_lq))
-        self.root = dataroot_lq
+        self.root = ImageRoot(dataroot_lq)
 
     def __len__(self):
-        return len(self.files)
+        return len(self.root.stems)
 
     def __getitem__(self, i: int):
-        path = os.path.join(self.root, self.files[i])
-        lq = np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-        return lq, path
+        stem = self.root.stems[i]
+        return self.root.load(stem), os.path.join(self.root.root, stem)
 
 
 class StereoPairedDataset:
