@@ -38,6 +38,8 @@ def reverse_main(args):
     from ..io.checkpoints import load_pytree
 
     tree = load_pytree(args.src)
+    if isinstance(tree, dict) and "ema" in tree:
+        tree = tree["ema"]   # EDM trainer network-snapshot-*.orbax layout
     params = tree.get("params", tree) if isinstance(tree, dict) else tree
     batch_stats = tree.get("batch_stats") if isinstance(tree, dict) else None
     if args.arch.endswith("_sigma"):
