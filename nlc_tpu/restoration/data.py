@@ -54,9 +54,17 @@ class ImageRoot:
     def __init__(self, root: str):
         self.root = root
         self.is_lmdb = root.endswith(".lmdb")
+        self._reader = None
         if not self.is_lmdb:
             names = sorted(os.listdir(root))
-            self._by_stem = {os.path.splitext(n)[0]: n for n in names}
+            self._by_stem = {}
+            for n in names:
+                stem = os.path.splitext(n)[0]
+                if stem in self._by_stem:
+                    raise ValueError(
+                        f"{root}: files {self._by_stem[stem]!r} and {n!r} "
+                        "share a stem — pairing by stem would be ambiguous")
+                self._by_stem[stem] = n
             self.stems = sorted(self._by_stem)
             return
         meta = os.path.join(root, "meta_info.txt")
@@ -67,6 +75,19 @@ class ImageRoot:
                               for line in f if line.strip()]
         else:
             self.stems = [k.decode() for k in self._reader_keys()]
+
+    def name_of(self, stem: str) -> str:
+        """Full member path: the actual filename for folders, the key path
+        for lmdb roots (which store stems only)."""
+        if not self.is_lmdb:
+            return os.path.join(self.root, self._by_stem[stem])
+        return os.path.join(self.root, stem)
+
+    def close(self):
+        if self._reader is not None:
+            kind, r = self._reader
+            r.close()
+            self._reader = None
 
     @staticmethod
     def _open(root):
@@ -183,7 +204,7 @@ class SingleImageDataset:
 
     def __getitem__(self, i: int):
         stem = self.root.stems[i]
-        return self.root.load(stem), os.path.join(self.root.root, stem)
+        return self.root.load(stem), self.root.name_of(stem)
 
 
 class StereoPairedDataset:

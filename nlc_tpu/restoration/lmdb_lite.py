@@ -198,7 +198,17 @@ class LmdbReader:
 
 
 class LmdbWriter:
-    """Create an LMDB environment from sorted or unsorted (key, value) pairs.
+    """Create an LMDB environment from (key, value) pairs.
+
+    Semantics match liblmdb's put(): duplicate keys overwrite (last wins),
+    keys are capped at 511 bytes (MDB_MAXKEYSIZE). Values spill to a
+    temporary file as they arrive and pages stream to data.mdb, so memory
+    stays O(keys), not O(dataset) — large image corpora fit. Node records
+    are 2-byte aligned (liblmdb's EVEN padding) so the real binding's
+    pointer-cast reads stay aligned.
+
+    File layout: [meta0][meta1][overflow chains][leaves][branches]; metas
+    are written last via seek once the tree shape is known.
 
     Usage:
         with LmdbWriter("out.lmdb") as w:
@@ -206,168 +216,168 @@ class LmdbWriter:
         # -> out.lmdb/data.mdb (+ empty lock.mdb for tool compatibility)
     """
 
+    MAXKEYSIZE = 511   # liblmdb MDB_MAXKEYSIZE
+
     def __init__(self, path: str, psize: int = 4096):
+        import tempfile
         self.path = path
         self.psize = psize
-        self._items: List[Tuple[bytes, bytes]] = []
+        self._index = {}                      # key -> (spill offset, size)
+        self._spill = tempfile.TemporaryFile()
 
     def put(self, key: bytes, value: bytes):
         assert isinstance(key, (bytes, bytearray))
-        assert len(key) <= self.psize // 8, "key too large"
-        self._items.append((bytes(key), bytes(value)))
+        key = bytes(key)
+        if len(key) > self.MAXKEYSIZE:
+            raise ValueError(f"key exceeds liblmdb's {self.MAXKEYSIZE}-byte "
+                             f"limit: {len(key)}")
+        off = self._spill.seek(0, 2)
+        self._spill.write(value)
+        self._index[key] = (off, len(value))  # last write wins, like mdb_put
+
+    def _value(self, key: bytes) -> bytes:
+        off, size = self._index[key]
+        self._spill.seek(off)
+        return self._spill.read(size)
 
     # ---- page assembly ----
 
-    def _node_bytes(self, lo: int, hi: int, flags: int, key: bytes,
+    @staticmethod
+    def _node_bytes(lo: int, hi: int, flags: int, key: bytes,
                     data: bytes) -> bytes:
-        return struct.pack("<HHHH", lo, hi, flags, len(key)) + key + data
+        rec = struct.pack("<HHHH", lo, hi, flags, len(key)) + key + data
+        return rec if len(rec) % 2 == 0 else rec + b"\0"   # liblmdb EVEN()
 
-    def _pack_pages(self, nodes: List[bytes], flags: int) -> List[bytes]:
-        """Pack node records into pages (ptrs grow from the front, nodes from
-        the back, liblmdb layout)."""
-        pages: List[List[bytes]] = [[]]
-        used = [PAGEHDRSZ]
-        for node in nodes:
-            need = 2 + len(node)          # ptr slot + record
-            if used[-1] + need > self.psize:
-                pages.append([])
-                used.append(PAGEHDRSZ)
-            pages[-1].append(node)
-            used[-1] += need
-        out = []
-        for plist in pages:
-            lower = PAGEHDRSZ + 2 * len(plist)
-            offsets = []
-            upper = self.psize
-            body = bytearray(self.psize)
-            for node in reversed(plist):
-                upper -= len(node)
-                body[upper: upper + len(node)] = node
-                offsets.append(upper)
-            offsets.reverse()
-            struct.pack_into("<QHHHH", body, 0, 0, 0, flags, lower, upper)
-            for i, off in enumerate(offsets):
-                struct.pack_into("<H", body, PAGEHDRSZ + 2 * i, off)
-            out.append(bytes(body))
-        return out
+    def _emit_page(self, f, pgno: int, flags: int,
+                   nodes: List[bytes]) -> None:
+        body = bytearray(self.psize)
+        lower = PAGEHDRSZ + 2 * len(nodes)
+        upper = self.psize
+        offsets = []
+        for node in reversed(nodes):
+            upper -= len(node)
+            body[upper: upper + len(node)] = node
+            offsets.append(upper)
+        offsets.reverse()
+        struct.pack_into("<QHHHH", body, 0, pgno, 0, flags, lower, upper)
+        for i, off in enumerate(offsets):
+            struct.pack_into("<H", body, PAGEHDRSZ + 2 * i, off)
+        f.write(bytes(body))
 
     def _write(self):
-        items = sorted(self._items)
         psize = self.psize
-        overflow_threshold = psize // 2
-
-        # leaf node records; values above half a page go to overflow chains
-        # (placeholder pgno patched once page numbers are known)
-        ov_assignments: List[int] = []
-        raw_nodes = []
-        for idx, (key, val) in enumerate(items):
-            dsize = len(val)
-            lo, hi = dsize & 0xFFFF, (dsize >> 16) & 0xFFFF
-            if dsize >= overflow_threshold:
-                raw_nodes.append(self._node_bytes(lo, hi, F_BIGDATA, key,
-                                                  b"\0" * 8))
-                ov_assignments.append(idx)
-            else:
-                raw_nodes.append(self._node_bytes(lo, hi, 0, key, val))
-
-        leaf_pages = self._pack_pages(raw_nodes, P_LEAF) if items else []
-
-        # lay out: metas (0,1), leaves, branches, overflow chains at the end
-        leaf_pgnos = list(range(2, 2 + len(leaf_pages)))
-        next_pg = 2 + len(leaf_pages)
-
-        # branch levels
-        level_pgnos = leaf_pgnos
-        level_first_keys = []
-        # first key of each leaf page
-        ki = 0
-        for lp in leaf_pages:
-            nk = LmdbReader._numkeys(lp)
-            level_first_keys.append(items[ki][0])
-            ki += nk
-        branch_levels: List[List[bytes]] = []
-        while len(level_pgnos) > 1:
-            bnodes = []
-            for i, (pg, k) in enumerate(zip(level_pgnos, level_first_keys)):
-                key = b"" if i == 0 else k
-                bnodes.append(self._node_bytes(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
-                                               (pg >> 32) & 0xFFFF, key, b""))
-            bpages = self._pack_pages(bnodes, P_BRANCH)
-            # fix child distribution: recompute first keys per branch page
-            new_first, idx = [], 0
-            for bp in bpages:
-                new_first.append(level_first_keys[idx])
-                idx += LmdbReader._numkeys(bp)
-            branch_levels.append(bpages)
-            level_pgnos = list(range(next_pg, next_pg + len(bpages)))
-            next_pg += len(bpages)
-            level_first_keys = new_first
-        root = level_pgnos[0] if items else 0xFFFFFFFFFFFFFFFF
-
-        # overflow chains + patch BIGDATA node pointers inside leaf pages
-        patched_leaves = [bytearray(lp) for lp in leaf_pages]
-        ov_pages: List[bytes] = []
-        if ov_assignments:
-            # map node index -> (leaf page #, slot) by walking leaves
-            slot_of = {}
-            idx = 0
-            for li, lp in enumerate(leaf_pages):
-                for s in range(LmdbReader._numkeys(lp)):
-                    slot_of[idx] = (li, s)
-                    idx += 1
-            for node_idx in ov_assignments:
-                key, val = items[node_idx]
-                # liblmdb stores overflow data contiguously after ONE header
-                n_ov = (PAGEHDRSZ + len(val) + psize - 1) // psize
-                chain = bytearray(n_ov * psize)
-                struct.pack_into("<QHHI", chain, 0, next_pg, 0, P_OVERFLOW, n_ov)
-                chain[PAGEHDRSZ: PAGEHDRSZ + len(val)] = val
-                li, s = slot_of[node_idx]
-                page = patched_leaves[li]
-                ptr = struct.unpack_from("<H", page, PAGEHDRSZ + 2 * s)[0]
-                ksize = struct.unpack_from("<H", page, ptr + 6)[0]
-                struct.pack_into("<Q", page, ptr + 8 + ksize, next_pg)
-                for c in range(n_ov):
-                    ov_pages.append(bytes(chain[c * psize:(c + 1) * psize]))
-                next_pg += n_ov
-
-        tree_pages = [bytes(p) for p in patched_leaves]
-        for lvl in branch_levels:
-            tree_pages.extend(lvl)
-        # stamp real page numbers into the tree-page headers; overflow chains
-        # already carry theirs and their continuation pages are raw data
-        body_pages = []
-        for i, p in enumerate(tree_pages):
-            b = bytearray(p)
-            struct.pack_into("<Q", b, 0, 2 + i)
-            body_pages.append(bytes(b))
-        body_pages.extend(ov_pages)
-        last_pg = 1 + len(body_pages)
-
-        # meta pages: free DB empty; main DB describes the tree
-        depth = 1 + len(branch_levels) if items else 0
-        n_branch = sum(len(l) for l in branch_levels)
-        free_db = struct.pack(_DB_FMT, psize, 0, 0, 0, 0, 0, 0,
-                              0xFFFFFFFFFFFFFFFF)
-        main_db = struct.pack(_DB_FMT, 0, 0, depth, n_branch, len(leaf_pages),
-                              len(ov_pages), len(items), root)
-        metas = []
-        for pgno, txnid in ((0, 0), (1, 1)):
-            page = bytearray(psize)
-            struct.pack_into("<QHHHH", page, 0, pgno, 0, P_META,
-                             PAGEHDRSZ, PAGEHDRSZ)
-            meta = struct.pack(_META_FMT, MAGIC, VERSION, 0,
-                               psize * (last_pg + 1), free_db + main_db,
-                               last_pg, txnid)
-            page[PAGEHDRSZ: PAGEHDRSZ + len(meta)] = meta
-            metas.append(bytes(page))
-
+        keys = sorted(self._index)
+        ov_threshold = psize // 2
         os.makedirs(self.path, exist_ok=True)
-        with open(os.path.join(self.path, "data.mdb"), "wb") as f:
-            f.write(metas[0])
-            f.write(metas[1])
-            for p in body_pages:
-                f.write(p)
+        f = open(os.path.join(self.path, "data.mdb"), "w+b")
+        try:
+            f.seek(2 * psize)
+            next_pg = 2
+
+            # overflow chains first (their pgnos go into the leaf nodes)
+            ov_pgno = {}
+            n_ov_pages = 0
+            for k in keys:
+                size = self._index[k][1]
+                if size >= ov_threshold:
+                    n_ov = (PAGEHDRSZ + size + psize - 1) // psize
+                    chain = bytearray(n_ov * psize)
+                    struct.pack_into("<QHHI", chain, 0, next_pg, 0,
+                                     P_OVERFLOW, n_ov)
+                    chain[PAGEHDRSZ: PAGEHDRSZ + size] = self._value(k)
+                    f.write(bytes(chain))
+                    ov_pgno[k] = next_pg
+                    next_pg += n_ov
+                    n_ov_pages += n_ov
+
+            # leaves, streamed page by page
+            leaf_pgnos: List[int] = []
+            first_keys: List[bytes] = []
+            cur: List[bytes] = []
+            cur_used = PAGEHDRSZ
+            cur_first: Optional[bytes] = None
+
+            def flush_leaf():
+                nonlocal cur, cur_used, cur_first, next_pg
+                if not cur:
+                    return
+                self._emit_page(f, next_pg, P_LEAF, cur)
+                leaf_pgnos.append(next_pg)
+                first_keys.append(cur_first)
+                next_pg += 1
+                cur, cur_used, cur_first = [], PAGEHDRSZ, None
+
+            for k in keys:
+                size = self._index[k][1]
+                lo, hi = size & 0xFFFF, (size >> 16) & 0xFFFF
+                if k in ov_pgno:
+                    node = self._node_bytes(lo, hi, F_BIGDATA, k,
+                                            struct.pack("<Q", ov_pgno[k]))
+                else:
+                    node = self._node_bytes(lo, hi, 0, k, self._value(k))
+                need = 2 + len(node)
+                if cur and cur_used + need > psize:
+                    flush_leaf()
+                if PAGEHDRSZ + need > psize:
+                    raise ValueError(f"record for key {k!r} exceeds one page")
+                if cur_first is None:
+                    cur_first = k
+                cur.append(node)
+                cur_used += need
+            flush_leaf()
+
+            # branch levels bottom-up (small; kept in memory)
+            level_pgnos, level_keys = leaf_pgnos, first_keys
+            n_branch = 0
+            depth = 1 if keys else 0
+            while len(level_pgnos) > 1:
+                bnodes, bfirst, bpgnos = [], [], []
+                pending_nodes: List[bytes] = []
+                pending_keys: List[bytes] = []
+                used = PAGEHDRSZ
+                groups: List[Tuple[List[bytes], bytes]] = []
+                for i, (pg, k) in enumerate(zip(level_pgnos, level_keys)):
+                    key = b"" if i == 0 else k
+                    node = self._node_bytes(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
+                                            (pg >> 32) & 0xFFFF, key, b"")
+                    need = 2 + len(node)
+                    if pending_nodes and used + need > psize:
+                        groups.append((pending_nodes, pending_keys[0]))
+                        pending_nodes, pending_keys, used = [], [], PAGEHDRSZ
+                    pending_nodes.append(node)
+                    pending_keys.append(k)
+                    used += need
+                groups.append((pending_nodes, pending_keys[0]))
+                new_pgnos, new_keys = [], []
+                for nodes, firstk in groups:
+                    self._emit_page(f, next_pg, P_BRANCH, nodes)
+                    new_pgnos.append(next_pg)
+                    new_keys.append(firstk)
+                    next_pg += 1
+                    n_branch += 1
+                level_pgnos, level_keys = new_pgnos, new_keys
+                depth += 1
+            root = level_pgnos[0] if keys else 0xFFFFFFFFFFFFFFFF
+            last_pg = next_pg - 1
+
+            # metas at pgno 0/1 (free DB empty; its pad records the page size)
+            free_db = struct.pack(_DB_FMT, psize, 0, 0, 0, 0, 0, 0,
+                                  0xFFFFFFFFFFFFFFFF)
+            main_db = struct.pack(_DB_FMT, 0, 0, depth, n_branch,
+                                  len(leaf_pgnos), n_ov_pages, len(keys), root)
+            f.seek(0)
+            for pgno, txnid in ((0, 0), (1, 1)):
+                page = bytearray(psize)
+                struct.pack_into("<QHHHH", page, 0, pgno, 0, P_META,
+                                 PAGEHDRSZ, PAGEHDRSZ)
+                meta = struct.pack(_META_FMT, MAGIC, VERSION, 0,
+                                   psize * (last_pg + 2), free_db + main_db,
+                                   last_pg, txnid)
+                page[PAGEHDRSZ: PAGEHDRSZ + len(meta)] = meta
+                f.write(bytes(page))
+        finally:
+            f.close()
+            self._spill.close()
         open(os.path.join(self.path, "lock.mdb"), "wb").close()
 
     def close(self):
@@ -379,6 +389,8 @@ class LmdbWriter:
     def __exit__(self, exc_type, *a):
         if exc_type is None:
             self.close()
+        else:
+            self._spill.close()
 
 
 def make_image_lmdb(img_folder: str, lmdb_path: str) -> int:

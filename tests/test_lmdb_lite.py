@@ -44,6 +44,40 @@ def test_empty_and_single(tmp_path):
         assert r.get(b"only") == b"value" and len(r) == 1
 
 
+def test_put_semantics_match_liblmdb(tmp_path):
+    """Duplicate keys overwrite (last wins, mdb_put semantics); oversized
+    keys are rejected at liblmdb's 511-byte MDB_MAXKEYSIZE."""
+    path = str(tmp_path / "d.lmdb")
+    with LmdbWriter(path) as w:
+        w.put(b"k", b"first")
+        w.put(b"other", b"x")
+        w.put(b"k", b"second")
+        with pytest.raises(ValueError):
+            w.put(b"K" * 512, b"v")
+        w.put(b"K" * 511, b"ok")
+    with LmdbReader(path) as r:
+        assert len(r) == 3
+        assert r.get(b"k") == b"second"
+        assert r.get(b"K" * 511) == b"ok"
+
+
+def test_node_alignment(tmp_path):
+    """Node offsets stay 2-byte aligned (liblmdb EVEN padding) even with
+    odd-length records."""
+    import struct
+    path = str(tmp_path / "a.lmdb")
+    with LmdbWriter(path) as w:
+        for i in range(20):
+            w.put(f"k{i:02d}".encode(), b"x" * (2 * i + 1))  # odd sizes
+    with LmdbReader(path) as r:
+        _, page = r._page(r._main.root)
+        for i in range(r._numkeys(page)):
+            ptr = struct.unpack_from("<H", page, 16 + 2 * i)[0]
+            assert ptr % 2 == 0, ptr
+        for i in range(20):
+            assert r.get(f"k{i:02d}".encode()) == b"x" * (2 * i + 1)
+
+
 def test_bad_file_rejected(tmp_path):
     bad = tmp_path / "bad.lmdb"
     bad.mkdir()
@@ -109,3 +143,12 @@ def test_image_lmdb_dataset_backend(tmp_path):
     # meta_info.txt drives key order
     root = ImageRoot(str(tmp_path / "gt.lmdb"))
     assert root.stems == [f"{i:03d}" for i in range(4)]
+    root.close()
+
+    # ambiguous folder stems fail loudly instead of silently dropping files
+    amb = tmp_path / "amb"
+    amb.mkdir()
+    for ext in ("png", "bmp"):
+        Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(amb / f"x.{ext}")
+    with pytest.raises(ValueError):
+        ImageRoot(str(amb))
