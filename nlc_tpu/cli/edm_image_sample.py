@@ -199,6 +199,16 @@ def main(args, config):
     dump_args(args, os.path.join(args.test_dir, "args.json"))
 
     bundle, params, svars, ucfg = build(args, config)
+
+    # data-parallel sampling over all local devices that divide the batch
+    # (no-op on one chip; per-sample seeding keeps images packing-invariant)
+    from ..parallel.mesh import make_data_mesh, replicate, shard_batch
+    mesh = make_data_mesh(args.batch_size)
+    n_dp = int(np.prod(mesh.devices.shape))
+    if n_dp > 1:
+        logger.log(f"data-parallel sampling over {n_dp} devices")
+        params = replicate(mesh, params)
+        svars = replicate(mesh, svars)
     res = config.model.img_resolution
     dim = res * res * 3
     nmin, nmax = set_norm_maxmin((res, res, 3), args.norm_min, args.norm_max)
@@ -244,6 +254,8 @@ def main(args, config):
             # per-sample seeds = global sample indices
             # (StackedRandomGenerator parity)
             seeds = jnp.arange(i * args.batch_size, (i + 1) * args.batch_size)
+            if n_dp > 1:
+                seeds = shard_batch(mesh, seeds)
             nxt = (i, sample_fn(params, svars, seeds), time.time())
         if pending is not None:
             j, sample, t1 = pending

@@ -389,6 +389,20 @@ def main(args, config):
 
     bundle, params, svars, ucfg = build_models_and_params(args, config)
 
+    # data-parallel sampling over all local devices that divide the batch
+    # (a no-op on one chip; per-sample RNG keeps images bit-identical
+    # regardless of sharding)
+    from ..parallel.mesh import make_data_mesh, replicate, shard_batch
+    mesh = make_data_mesh(args.batch_size)
+    n_dp = int(np.prod(mesh.devices.shape))
+    if n_dp > 1:
+        logger.log(f"data-parallel sampling over {n_dp} devices")
+        params = replicate(mesh, params)
+        svars = replicate(mesh, svars)
+
+    def _shard(*arrays):
+        return shard_batch(mesh, arrays) if n_dp > 1 else arrays
+
     dcfg_diff = config.diffusion
     sampler = get_sampler(
         args.sampler, dcfg_diff.num_diffusion_timesteps, args.num_timesteps,
@@ -444,11 +458,11 @@ def main(args, config):
                                          window=args.parallel_window,
                                          iters=iters,
                                          learn_epsvar=bundle.learn_epsvar)
-            return lambda xT, seeds: (run_p(params, xT), {})
+            return lambda xT, seeds: (run_p(params, _shard(xT)[0]), {})
         if cf is None:
             jitted = jax.jit(lambda p, sv, xT, seeds: loop(
                 sampler, bundle, dn_cfg, p, sv, xT, seeds))
-            return lambda xT, seeds: jitted(params, svars, xT, seeds)
+            return lambda xT, seeds: jitted(params, svars, *_shard(xT, seeds))
 
         def run(p, sv, xT, seeds, y):
             cfn = cf.make_constrain_fn(y, lam=cf.lr)
@@ -457,7 +471,8 @@ def main(args, config):
                         constrain_fn=cfn, constrain_loss=closs)
 
         jitted = jax.jit(run)
-        return lambda xT, seeds, y: jitted(params, svars, xT, seeds, y)
+        return lambda xT, seeds, y: jitted(params, svars,
+                                           *_shard(xT, seeds, y))
 
     fid = make_fid_fn(args)
     images_dir = os.path.join(args.test_dir, args.save_flag, "images")
