@@ -153,21 +153,34 @@ def build(args, config):
 
     res = m.img_resolution
     if args.load_eps and os.path.exists(args.load_eps):
-        if args.load_eps.endswith(".pkl"):
-            sd = load_edm_state_dict(args.load_eps)
+        if os.path.isdir(args.load_eps):   # orbax dir (converter / trainer
+            from ..io.checkpoints import load_pytree  # snapshot output)
+            tree = load_pytree(args.load_eps)
+            if "ema" in tree:              # network-snapshot-* layout
+                tree = tree["ema"]
+            params = tree if "params" in tree else {"params": tree}
         else:
-            sd = load_torch_state_dict(args.load_eps)
-        params = {"params": convert_song_unet(sd, ucfg)}
+            if args.load_eps.endswith(".pkl"):
+                sd = load_edm_state_dict(args.load_eps)
+            else:
+                sd = load_torch_state_dict(args.load_eps)
+            params = {"params": convert_song_unet(sd, ucfg)}
         logger.log(f"loaded eps model from {args.load_eps}")
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, res, res, 3)),
                             jnp.zeros((1,)))
         logger.log("WARNING: no eps checkpoint — random init (smoke mode)")
     if args.load_sigma and os.path.exists(args.load_sigma):
-        ssd = load_torch_state_dict(args.load_sigma)
-        sp, sbs = convert_edm_sigma_head(ssd, ucfg.feat_shape[0],
-                                         ucfg.feat_shape[2], args.sigma_block)
-        svars = {"params": sp, "batch_stats": sbs}
+        if os.path.isdir(args.load_sigma):
+            from ..io.checkpoints import load_pytree
+            tree = load_pytree(args.load_sigma)
+            svars = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+        else:
+            ssd = load_torch_state_dict(args.load_sigma)
+            sp, sbs = convert_edm_sigma_head(ssd, ucfg.feat_shape[0],
+                                             ucfg.feat_shape[2], args.sigma_block)
+            svars = {"params": sp, "batch_stats": sbs}
         logger.log(f"loaded sigma model from {args.load_sigma}")
     else:
         svars = head.init(jax.random.PRNGKey(1),

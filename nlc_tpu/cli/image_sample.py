@@ -210,16 +210,27 @@ def build_models_and_params(args, config):
     x0 = jnp.zeros((1, res, res, 3))
     t0 = jnp.zeros((1,))
     if args.load_eps and os.path.exists(args.load_eps):
-        sd = load_torch_state_dict(args.load_eps)
-        params = {"params": convert_unet(sd)}
+        if os.path.isdir(args.load_eps):   # orbax dir (convert_checkpoint out)
+            from ..io.checkpoints import load_pytree
+            tree = load_pytree(args.load_eps)
+            params = tree if "params" in tree else {"params": tree}
+        else:
+            sd = load_torch_state_dict(args.load_eps)
+            params = {"params": convert_unet(sd)}
         logger.log(f"loaded eps model from {args.load_eps}")
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, t0)
         logger.log("WARNING: no eps checkpoint — random init (smoke mode)")
     if args.load_sigma and os.path.exists(args.load_sigma):
-        ssd = load_torch_state_dict(args.load_sigma)
-        sp, sbs = convert_head_fn(ssd)
-        svars = {"params": sp, "batch_stats": sbs}
+        if os.path.isdir(args.load_sigma):   # orbax dir (trainer checkpoints)
+            from ..io.checkpoints import load_pytree
+            tree = load_pytree(args.load_sigma)
+            svars = {"params": tree["params"],
+                     "batch_stats": tree.get("batch_stats", {})}
+        else:
+            ssd = load_torch_state_dict(args.load_sigma)
+            sp, sbs = convert_head_fn(ssd)
+            svars = {"params": sp, "batch_stats": sbs}
         logger.log(f"loaded sigma model from {args.load_sigma}")
     else:
         feat = jnp.zeros((1,) + ucfg.feat_shape)

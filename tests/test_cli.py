@@ -175,6 +175,40 @@ def test_edm_train_cli_and_resume(store, tmp_path):
                                           "cifar10", "1"))
 
 
+def test_sample_cli_loads_orbax_checkpoints(store, tmp_path):
+    """--load_eps/--load_sigma accept orbax dirs (trainer checkpoints and
+    convert_checkpoint output), not just torch files."""
+    import jax
+    import jax.numpy as jnp
+    from nlc_tpu.cli.image_sample import (get_args, main,
+                                          build_models_and_params)
+    from nlc_tpu.io.checkpoints import save_pytree
+
+    # build random variables once and save them as orbax dirs
+    args0, config0 = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "base", "--max_T", "2", "--batch_size", "2", "--bf16", "0"])
+    _, params, svars, _ = build_models_and_params(args0, config0)
+    eps_dir = str(tmp_path / "eps")
+    sig_dir = str(tmp_path / "sigma")
+    save_pytree(params, eps_dir)
+    save_pytree(svars, sig_dir)
+
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "base", "--max_T", "2", "--sample_size", "2",
+        "--batch_size", "2", "--bf16", "0", "--eta", "0.0",
+        "--load_eps", eps_dir, "--load_sigma", sig_dir,
+        "--test_dir", str(tmp_path / "out")])
+    main(args, config)
+    assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
+    # determinism: same params via orbax == same params in memory
+    _, params2, svars2, _ = build_models_and_params(args, config)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_result_evaluater(tmp_path):
     from nlc_tpu.cli.result_evaluater import main
     from nlc_tpu.utils.image_io import save_image
