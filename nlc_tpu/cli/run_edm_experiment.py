@@ -136,8 +136,15 @@ def main(args, config):
     res = m.img_resolution
 
     if args.load_eps and os.path.exists(args.load_eps):
-        sd = load_edm_state_dict(args.load_eps)
-        frozen_params = {"params": convert_song_unet(sd, ucfg)}
+        if os.path.isdir(args.load_eps):   # orbax dir (e.g. edm_train snapshot)
+            from ..io.checkpoints import load_pytree
+            tree = load_pytree(args.load_eps)
+            if "ema" in tree:
+                tree = tree["ema"]
+            frozen_params = tree if "params" in tree else {"params": tree}
+        else:
+            sd = load_edm_state_dict(args.load_eps)
+            frozen_params = {"params": convert_song_unet(sd, ucfg)}
         logger.log("loaded eps from", args.load_eps)
     else:
         frozen_params = jax.jit(model.init)(jax.random.PRNGKey(0),

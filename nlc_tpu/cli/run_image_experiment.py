@@ -163,8 +163,13 @@ def main(args, config):
 
     res = config.data.image_size
     if args.load_eps and os.path.exists(args.load_eps):
-        sd = load_torch_state_dict(args.load_eps)
-        frozen_params = {"params": convert(sd, ucfg)}
+        if os.path.isdir(args.load_eps):   # orbax dir
+            from ..io.checkpoints import load_pytree
+            tree = load_pytree(args.load_eps)
+            frozen_params = tree if "params" in tree else {"params": tree}
+        else:
+            sd = load_torch_state_dict(args.load_eps)
+            frozen_params = {"params": convert(sd, ucfg)}
         logger.log("loaded eps from", args.load_eps)
     else:
         frozen_params = jax.jit(model.init)(jax.random.PRNGKey(0),
