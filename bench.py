@@ -40,6 +40,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # NOTE: jax's persistent compilation cache is deliberately NOT enabled —
+    # on the tunneled axon backend it stalls the warmup compile indefinitely
+    # (measured: >9 min vs ~60 s without it)
+
     platform = jax.devices()[0].platform
     log("platform:", platform, jax.devices())
 
