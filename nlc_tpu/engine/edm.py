@@ -85,7 +85,7 @@ def _denoise_vector(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars
     sigma_orig = sigma_t
     if cfg.refine_prior_sigma:
         norm_x = vector_norm(x, keepdims=True) / math.sqrt(dim)
-        min_dist = jnp.clip(norm_x - cfg.norm_max, a_min=0.0)
+        min_dist = jnp.clip(norm_x - cfg.norm_max, min=0.0)
         max_dist = norm_x + cfg.norm_min
         sigma_t = jnp.clip(sigma_t, min_dist, max_dist)
 
@@ -137,7 +137,7 @@ def heun_step(bundle: EDMModelBundle, cfg: EDMSamplerConfig, params, svars,
 
     sigma_hat0 = sigma_cur * (1.0 + gamma)
     churn = per_sample_step_noise(seeds, ind, sample_shape, stream=7)
-    x_hat = x_cur + jnp.sqrt(jnp.clip(sigma_hat0 ** 2 - sigma_cur ** 2, a_min=0)) \
+    x_hat = x_cur + jnp.sqrt(jnp.clip(sigma_hat0 ** 2 - sigma_cur ** 2, min=0)) \
         * cfg.S_noise * churn
 
     eps, denoised, sigma_hat, sigma_next = _denoise_vector(

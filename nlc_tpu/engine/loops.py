@@ -133,7 +133,7 @@ def _refine_sigma(sampler: Sampler, cfg: DenoiseConfig, xt, sigma_t, sigma_prev,
     """Prior sigma clamp to the data-manifold distance band
     (reference experiments.py:401-417)."""
     norm_x = vector_norm(xt, keepdims=True) / math.sqrt(float(np.prod(xt.shape[1:])))
-    min_dist = jnp.clip(norm_x - cfg.norm_max, a_min=0.0)
+    min_dist = jnp.clip(norm_x - cfg.norm_max, min=0.0)
     max_dist = norm_x + cfg.norm_min
     sigma_t = jnp.clip(sigma_t, min_dist, max_dist)
     t_new = sampler.schedule.get_t_from_sigma(

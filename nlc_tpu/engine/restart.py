@@ -142,7 +142,7 @@ def restart_sampler(bundle: EDMModelBundle, cfg: EDMSamplerConfig,
             noise = per_sample_step_noise(seeds, s["ind"], sample_shape,
                                           stream=11)
             return x_cur + jnp.sqrt(jnp.clip(sigma_next0 ** 2 - sigma_cur ** 2,
-                                             a_min=0.0)) \
+                                             min=0.0)) \
                 * S_noise_restart * noise
 
         def heun(x_cur):

@@ -123,7 +123,7 @@ def _lambda_noise_weights(singulars_full: jnp.ndarray, a, sigma_y, sigma_t, eta)
         d2 = d2 * (1 - c)
         c = (sigma_t > a * sigma_y * inv_s).astype(s.dtype)
         d1 = d1 * (1 - c) + jnp.sqrt(
-            jnp.clip(c * (sigma_t ** 2 - a ** 2 * sigma_y ** 2 * inv_s ** 2), a_min=0))
+            jnp.clip(c * (sigma_t ** 2 - a ** 2 * sigma_y ** 2 * inv_s ** 2), min=0))
         d2 = d2 * (1 - c)
         c = (s == 0).astype(s.dtype)
         d1 = d1 * (1 - c) + c * sigma_t * eta
@@ -159,7 +159,7 @@ class Denoising(SVDOperator):
         return jnp.where(sigma_t < a * sigma_y, vec * factor, vec)
 
     def Lambda_noise(self, vec, a, sigma_y, sigma_t, eta, epsilon):
-        big = vec * jnp.sqrt(jnp.clip(sigma_t ** 2 - a ** 2 * sigma_y ** 2, a_min=0))
+        big = vec * jnp.sqrt(jnp.clip(sigma_t ** 2 - a ** 2 * sigma_y ** 2, min=0))
         small = vec * sigma_t * eta
         return jnp.where(sigma_t >= a * sigma_y, big, small)
 

@@ -45,13 +45,13 @@ def get_eps_logvar(sigma_t: jnp.ndarray, sigma_prev: jnp.ndarray, sampler_var: s
                    ) -> Optional[jnp.ndarray]:
     """Per-step log variance derived purely from (sigma_t, sigma_prev)."""
     beta_t = (sigma_t ** 2 - sigma_prev ** 2) / (sigma_t ** 2 + 1)
-    beta_t = jnp.clip(jnp.abs(beta_t), a_min=1e-20)
+    beta_t = jnp.clip(jnp.abs(beta_t), min=1e-20)
     alpha_t = 1.0 / (sigma_t ** 2 + 1)
     alpha_prev = 1.0 / (sigma_prev ** 2 + 1)
     coef = jnp.clip((1 - alpha_prev) / (1 - alpha_t), 0.0, 1.0)
     post_var = beta_t * coef
     max_logvar = jnp.log(beta_t)
-    min_logvar = jnp.log(jnp.clip(post_var, a_min=min_var_coef))
+    min_logvar = jnp.log(jnp.clip(post_var, min=min_var_coef))
     if sampler_var == "learned" and learned_logvar is not None:
         frac = (learned_logvar + 1.0) / 2.0
         return frac * max_logvar + (1.0 - frac) * min_logvar
@@ -117,7 +117,7 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
 
     if name == "ddpm":
         noise_sigma = jnp.exp(0.5 * logvar) * jnp.sqrt(sigma_prev ** 2 + 1)
-        signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, a_min=0))
+        signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, min=0))
         x_prev = x0 + signal_sigma * eps
         return x_prev + noise_sigma * _mask_noise(noise, sigma_prev > 0)
 
@@ -140,9 +140,9 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
         ddpm_noise_sigma = jnp.exp(0.5 * logvar) if logvar is not None else jnp.zeros(())
         noise_sigma = eta * ddpm_noise_sigma * jnp.sqrt(sigma_prev ** 2 + 1)
         nz = _mask_noise(noise, sigma_prev > 0)
-        signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, a_min=0))
+        signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, min=0))
         if name == "ddim":
-            noise_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - signal_sigma ** 2, a_min=0))
+            noise_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - signal_sigma ** 2, min=0))
         return x0 + signal_sigma * eps + noise_sigma * nz
 
     if name in ("ddim_simple", "ddim_simple_orig", "ddim_simple_drag"):
@@ -151,7 +151,7 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
         if name == "ddim_simple_drag":
             signal_sigma = sigma_prev
         else:
-            signal_sigma = jnp.sqrt(jnp.clip(1.0 - eta ** 2, a_min=0.0)) * sigma_prev
+            signal_sigma = jnp.sqrt(jnp.clip(1.0 - eta ** 2, min=0.0)) * sigma_prev
         return x0 + signal_sigma * eps + eta * sigma_prev * noise
 
     if name == "ge":
@@ -163,8 +163,8 @@ def pred_xprev(cfg: Sampler, x0: jnp.ndarray, eps: jnp.ndarray, sigma_t: jnp.nda
         if cfg.norm_eps:
             eps_av = normalize(eps_av)
         noise_sigma = eta * sigma_prev * jnp.sqrt(
-            jnp.clip(1 - (sigma_prev / sigma_t) ** 2, a_min=0))
-        signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, a_min=0))
+            jnp.clip(1 - (sigma_prev / sigma_t) ** 2, min=0))
+        signal_sigma = jnp.sqrt(jnp.clip(sigma_prev ** 2 - noise_sigma ** 2, min=0))
         x_prev = x0 + signal_sigma * eps_av
         nz = _mask_noise(noise, sigma_t > cfg.schedule.sigmas[0])
         x_prev = x_prev + noise_sigma * nz

@@ -27,7 +27,7 @@ def normalize(x: jnp.ndarray, inp_dim: int | None = None, eps: float = 1e-12) ->
     """Rescale each sample onto the sqrt(dim) sphere (reference schedulers.py:7)."""
     if inp_dim is None:
         inp_dim = int(x[0].size)
-    denom = jnp.clip(vector_norm(x, keepdims=True), a_min=eps)
+    denom = jnp.clip(vector_norm(x, keepdims=True), min=eps)
     return math.sqrt(inp_dim) * x / denom
 
 
@@ -36,8 +36,8 @@ def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-6) -> jnp.
     bsz = a.shape[0]
     af = a.reshape(bsz, -1)
     bf = b.reshape(bsz, -1)
-    na = jnp.clip(jnp.linalg.norm(af, axis=1), a_min=eps)
-    nb = jnp.clip(jnp.linalg.norm(bf, axis=1), a_min=eps)
+    na = jnp.clip(jnp.linalg.norm(af, axis=1), min=eps)
+    nb = jnp.clip(jnp.linalg.norm(bf, axis=1), min=eps)
     return jnp.sum(af * bf, axis=1) / (na * nb)
 
 
