@@ -285,6 +285,7 @@ def main(args, config):
     log_dict = {}
     if fid is not None:
         log_dict["fid"] = fid.fid_of_dir(images_dir)
+        log_dict["fid_backend"] = fid.backend
         if not fid.is_inception:
             log_dict["fid_note"] = "fallback embedding — relative only"
     with open(os.path.join(args.test_dir, args.save_flag, "results.json"), "w") as f:

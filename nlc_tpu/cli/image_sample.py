@@ -302,6 +302,7 @@ def evaluate_unconstraint(args, sampler, run_fn, images_dir, data_shape, fid):
             logger.log("res pkl save done", i, res_pkl_path)
     if fid is not None:
         log_dict["fid"] = fid.fid_of_dir(images_dir)
+        log_dict["fid_backend"] = fid.backend
         if not fid.is_inception:
             log_dict["fid_note"] = "fallback embedding (no inception ckpt) — relative only"
     return log_dict
@@ -376,6 +377,7 @@ def evaluate_constraint(args, config, sampler, make_run_fn, images_dir,
                 "const_orig_loss": float(np.mean(co_l))}
     if fid is not None:
         log_dict["fid"] = fid.fid_of_dir(images_dir)
+        log_dict["fid_backend"] = fid.backend
     log_dict["full_log"] = {"psnr": psnr_l, "mse": mse_l, "ssim": ssim_l,
                             "const_forward": cf_l, "const_backward": cb_l,
                             "const_orig_loss": co_l}

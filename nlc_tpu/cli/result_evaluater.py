@@ -68,6 +68,7 @@ def evaluate_run(images_dir: str, transform_dir, fid: FIDComputer | None):
             out["n_matched"] = len(psnrs)
     if fid is not None:
         out["fid"] = fid.fid_of_dir(images_dir)
+        out["fid_backend"] = fid.backend
     return out
 
 

@@ -218,6 +218,7 @@ def main(args, config):
             if fid is not None:
                 out["fid" if style == "base" else "fid_pred"] = \
                     fid.fid_of_dir(images_dir)
+                out["fid_backend"] = fid.backend
         return out
 
     loop_cfg = TrainLoopConfig(epochs=args.epoch, iter_per_epoch=args.iter_per_epoch,

@@ -109,6 +109,14 @@ class FIDComputer:
         self.batch_size = batch_size
         self.is_inception = extractor is not None
 
+    @property
+    def backend(self) -> str:
+        """'inception' (comparable to published pytorch_fid numbers,
+        reference experiments.py:210-226) or 'fallback' (random-projection
+        embedding — relative tracking only; every recorded FID must carry
+        this stamp so the two can never be confused)."""
+        return "inception" if self.is_inception else "fallback"
+
     def features_of_images(self, images: np.ndarray) -> np.ndarray:
         outs = []
         for i in range(0, len(images), self.batch_size):

@@ -25,20 +25,25 @@ def _gaussian_window(size: int = 7, sigma: float = 7 / 6) -> np.ndarray:
 
 
 def estimate_aggd_param(block: np.ndarray) -> Tuple[float, float, float]:
-    """Asymmetric generalized Gaussian fit (reference niqe.py estimate_aggd_param)."""
+    """Asymmetric generalized Gaussian fit (reference niqe.py:16-44).
+
+    Degenerate blocks (no negative or no positive coefficients) produce NaN
+    exactly as the reference does; downstream the NaN rows are dropped by the
+    nancov-style covariance and skipped by nanmean — guarding them here would
+    silently shift the score instead."""
     block = block.flatten()
     gam = np.arange(0.2, 10.001, 0.001)
     gam_reciprocal = np.reciprocal(gam)
     r_gam = np.square(gamma(gam_reciprocal * 2)) / (
         gamma(gam_reciprocal) * gamma(gam_reciprocal * 3))
-    left_std = np.sqrt(np.mean(block[block < 0] ** 2)) if np.any(block < 0) else 0.0
-    right_std = np.sqrt(np.mean(block[block > 0] ** 2)) if np.any(block > 0) else 0.0
-    gammahat = left_std / right_std if right_std > 0 else np.inf
-    rhat = (np.mean(np.abs(block))) ** 2 / np.mean(block ** 2) \
-        if np.mean(block ** 2) > 0 else 0.0
-    rhatnorm = (rhat * (gammahat ** 3 + 1) * (gammahat + 1)) / \
-        ((gammahat ** 2 + 1) ** 2) if np.isfinite(gammahat) else 0.0
-    array_position = np.argmin((r_gam - rhatnorm) ** 2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        left_std = np.sqrt(np.mean(block[block < 0] ** 2))
+        right_std = np.sqrt(np.mean(block[block > 0] ** 2))
+        gammahat = left_std / right_std
+        rhat = (np.mean(np.abs(block))) ** 2 / np.mean(block ** 2)
+        rhatnorm = (rhat * (gammahat ** 3 + 1) * (gammahat + 1)) / \
+            ((gammahat ** 2 + 1) ** 2)
+        array_position = np.argmin((r_gam - rhatnorm) ** 2)
     alpha = gam[array_position]
     beta_l = left_std * np.sqrt(gamma(1 / alpha) / gamma(3 / alpha))
     beta_r = right_std * np.sqrt(gamma(1 / alpha) / gamma(3 / alpha))
@@ -58,10 +63,16 @@ def _compute_feature(block: np.ndarray) -> list:
     return feat
 
 
-def niqe_features(img: np.ndarray, block_size: int = 96) -> np.ndarray:
+def niqe_features(img: np.ndarray, block_size: int = 96,
+                  window: np.ndarray | None = None) -> np.ndarray:
     """img: (H, W) gray float [0,255]. Returns per-block 36-dim features over
-    two scales."""
-    window = _gaussian_window()
+    two scales (reference niqe.py:75-147 `niqe`). `window` is the 7x7
+    smoothing kernel; the pristine npz ships the canonical one, computed here
+    only as a fallback. The inter-scale half-downscale is a 2x2 local mean —
+    bit-equal to the reference's cv2.resize INTER_LINEAR at exactly 0.5 scale
+    on even dims (bilinear taps land at pixel-pair midpoints)."""
+    if window is None:
+        window = _gaussian_window()
     feats_all = []
     img = img.astype(np.float64)
     h, w = img.shape
@@ -91,18 +102,23 @@ def calculate_niqe(img: np.ndarray, pris_params_path: str,
                    crop_border: int = 0, convert_to_gray: bool = True) -> float:
     """img: (H, W, 3) or (H, W) uint8/float [0,255]."""
     with np.load(pris_params_path) as f:
-        mu_pris = f["mu_pris_param"]
+        # the shipped asset stores mu as (1, 36)
+        mu_pris = f["mu_pris_param"].ravel()
         cov_pris = f["cov_pris_param"]
-    img = np.asarray(img, np.float64)
-    if crop_border:
-        img = img[crop_border:-crop_border, crop_border:-crop_border]
+        window = f["gaussian_window"] if "gaussian_window" in f else None
+    # the reference casts to float32 before conversion (niqe.py:199)
+    img = np.asarray(img, np.float32)
     if img.ndim == 3 and convert_to_gray:
         from .psnr_ssim import rgb2ycbcr_y
         img = rgb2ycbcr_y(img / 255.0) * 255.0
     img = np.squeeze(img)
-    feats = niqe_features(img)
+    if crop_border:
+        img = img[crop_border:-crop_border, crop_border:-crop_border]
+    feats = niqe_features(img, window=window)
     mu_dist = np.nanmean(feats, axis=0)
-    cov_dist = np.cov(feats, rowvar=False)
+    # nancov semantics (niqe.py:152-154): drop rows containing NaN
+    valid = feats[~np.isnan(feats).any(axis=1)]
+    cov_dist = np.cov(valid, rowvar=False)
     cov_avg = (cov_pris + cov_dist) / 2
     pinv = np.linalg.pinv(cov_avg)
     d = mu_pris - mu_dist

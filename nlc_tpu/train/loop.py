@@ -145,6 +145,7 @@ def make_denoise_eval_fn(sampler, bundle: ModelBundle, frozen_params,
             if fid is not None:
                 val = fid.fid_of_dir(images_dir)
                 out["fid" if style == "base" else "fid_pred"] = val
+                out["fid_backend"] = fid.backend
         return out
 
     return eval_fn

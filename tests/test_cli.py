@@ -55,6 +55,29 @@ def test_image_sample_unconstrained(store, tmp_path):
     main(args2, config2)   # must not crash; skips existing PNGs
 
 
+def test_image_sample_stamps_fallback_fid_backend(store, tmp_path):
+    """Every FID computed without Inception weights must be stamped
+    fid_backend=fallback in results.json (not mistakable for a pytorch_fid
+    comparable number)."""
+    from nlc_tpu.cli.image_sample import get_args, main
+    from nlc_tpu.eval.fid import FIDComputer
+
+    rng = np.random.RandomState(0)
+    target = tmp_path / "target.npz"
+    FIDComputer().stats_of_images(rng.rand(8, 16, 16, 3)).save(str(target))
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--method", "base", "--max_T", "3", "--sample_size", "2",
+        "--batch_size", "2", "--bf16", "0", "--eta", "0.0",
+        "--fid_target", str(target), "--test_dir", str(tmp_path / "out")])
+    log = main(args, config)
+    assert np.isfinite(log["fid"])
+    with open(os.path.join(args.test_dir, "0", "results.json")) as f:
+        res = json.load(f)
+    assert res["fid_backend"] == "fallback"
+    assert "fid_note" in res
+
+
 def test_image_sample_constrained(store, tmp_path):
     from nlc_tpu.cli.image_sample import get_args, main
     args, config = get_args([
