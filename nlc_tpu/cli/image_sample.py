@@ -311,7 +311,8 @@ def evaluate_unconstraint(args, sampler, run_fn, images_dir, data_shape, fid):
 def evaluate_constraint(args, config, sampler, make_run_fn, images_dir,
                         transform_dir, cf, fid):
     ds = get_eval_dataset(config.data.dataset, args.data_dir,
-                          config.data.image_size)
+                          config.data.image_size,
+                          category=getattr(config.data, "category", None))
     loader = batch_iterator(ds, args.batch_size, shuffle=True, seed=args.seed)
     mse_l, psnr_l, ssim_l, cf_l, cb_l, co_l = [], [], [], [], [], []
     n_batches = math.ceil(min(len(ds), args.sample_size) / args.batch_size)

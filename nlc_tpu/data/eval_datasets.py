@@ -4,8 +4,9 @@ Capability parity with reference datasets/ (get_dataset, datasets/__init__.py:47
   CELEBA          140x140 center crop at (cx=89, cy=121) -> resize
   CelebA_HQ/FFHQ  image-folder with the seeded-2019 shuffle split (:136-164)
   ImageNet        val subset via a file list (:166-194)
-  LSUN            lmdb-backed (gated: lmdb is not in this image; a folder of
-                  pre-extracted images works through ImageFolder)
+  LSUN            lmdb-backed via LsunLmdbDataset (datasets/lsun.py:11-58
+                  LSUNClass semantics over the real lmdb binding or the
+                  in-repo lmdb_lite reader; pre-extracted folders also work)
 
 All loading is host-side numpy/PIL; images return as NHWC float32 in [0,1]
 (the data_transform -1..1 shift happens at the eval call site, matching
@@ -80,6 +81,101 @@ class SyntheticDataset:
         return np.clip(img, 0, 1), 0
 
 
+def _resize_short_center_crop(img: Image.Image, size: int) -> np.ndarray:
+    """torchvision Resize(size) + CenterCrop(size): scale the SHORT side to
+    `size` keeping aspect, then center-crop the square — the reference's LSUN
+    transform order (datasets/__init__.py:126-131), which differs from
+    crop-then-resize by resampling footprint."""
+    w, h = img.size
+    if w <= h:
+        nw, nh = size, max(int(round(h * size / w)), size)
+    else:
+        nw, nh = max(int(round(w * size / h)), size), size
+    img = img.resize((nw, nh), Image.BILINEAR)
+    left, top = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img.convert("RGB"), np.float32) / 255.0
+
+
+class LsunLmdbDataset:
+    """One LSUN category lmdb (reference datasets/lsun.py:11-58 LSUNClass).
+
+    Behavior parity: entry count from the db stats, key list enumerated once
+    and cached in a sibling ``_cache_<dirname>`` pickle, values are encoded
+    image buffers decoded through PIL. Reading prefers the real lmdb binding
+    when importable and falls back to the in-repo pure-Python lmdb_lite
+    reader (same pattern as restoration.data.ImageRoot), so `.lmdb` roots
+    never silently require pre-extraction.
+    """
+
+    def __init__(self, root: str, image_size: int):
+        import pickle
+        self.root = root.rstrip("/")
+        self.image_size = image_size
+        self._env = None
+        try:
+            import lmdb
+            self._env = lmdb.open(self.root, max_readers=1, readonly=True,
+                                  lock=False, readahead=False, meminit=False)
+            with self._env.begin(write=False) as txn:
+                self._len = txn.stat()["entries"]
+        except ImportError:
+            from ..restoration.lmdb_lite import LmdbReader
+            self._lite = LmdbReader(self.root)
+            self._len = len(self._lite)
+        cache_file = os.path.join(os.path.dirname(self.root),
+                                  f"_cache_{os.path.basename(self.root)}")
+        if os.path.isfile(cache_file):
+            with open(cache_file, "rb") as f:
+                self.keys = pickle.load(f)
+        else:
+            if self._env is not None:
+                with self._env.begin(write=False) as txn:
+                    self.keys = [k for k, _ in txn.cursor()]
+            else:
+                self.keys = list(self._lite.keys())
+            try:
+                with open(cache_file, "wb") as f:
+                    pickle.dump(self.keys, f)
+            except OSError:
+                pass   # read-only dataset mount; enumerate again next time
+
+    def __len__(self):
+        return self._len
+
+    def _get(self, key: bytes) -> bytes:
+        if self._env is not None:
+            with self._env.begin(write=False) as txn:
+                return txn.get(key)
+        return self._lite.get(key)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, int]:
+        import io
+        buf = self._get(self.keys[i])
+        img = Image.open(io.BytesIO(buf)).convert("RGB")
+        return _resize_short_center_crop(img, self.image_size), 0
+
+
+def _lsun_lmdb_root(data_dir: str, category: Optional[str],
+                    split: str) -> Optional[str]:
+    """Resolve the reference's LSUN layout (<root>/<category>_<split>_lmdb,
+    datasets/lsun.py:84-86 + __init__.py:121-125 val split); also accept
+    data_dir itself being an lmdb environment dir."""
+    if os.path.isfile(os.path.join(data_dir, "data.mdb")):
+        return data_dir
+    candidates = []
+    if category:
+        candidates += [os.path.join(data_dir, f"{category}_{split}_lmdb"),
+                       os.path.join(data_dir, f"{category}_val_lmdb")]
+    candidates += sorted(
+        os.path.join(data_dir, d) for d in os.listdir(data_dir)
+        if d.endswith("_lmdb") and os.path.isdir(os.path.join(data_dir, d)))
+    for c in candidates:
+        if os.path.isfile(os.path.join(c, "data.mdb")):
+            return c
+    return None
+
+
 def seeded_split(n: int, test_ratio: float = 0.1, seed: int = 2019
                  ) -> Tuple[np.ndarray, np.ndarray]:
     """The reference's fixed shuffle split for CelebA_HQ/FFHQ folders
@@ -91,7 +187,8 @@ def seeded_split(n: int, test_ratio: float = 0.1, seed: int = 2019
 
 
 def get_eval_dataset(name: str, data_dir: Optional[str], image_size: int,
-                     subset_file: Optional[str] = None, split: str = "test"):
+                     subset_file: Optional[str] = None, split: str = "test",
+                     category: Optional[str] = None):
     """Factory. Missing data_dir falls back to SyntheticDataset so smoke runs
     work anywhere; real evaluations pass the asset directory."""
     if data_dir is None or not os.path.isdir(data_dir):
@@ -126,7 +223,10 @@ def get_eval_dataset(name: str, data_dir: Optional[str], image_size: int,
             files = [os.path.join(data_dir, n) for n in names]
         return ImageFolderDataset(data_dir, image_size, files=files)
     if name == "LSUN":
-        # lmdb backend unavailable in this image; pre-extracted folders work
+        root = _lsun_lmdb_root(data_dir, category, split)
+        if root is not None:
+            return LsunLmdbDataset(root, image_size)
+        # pre-extracted image folders also work
         return ImageFolderDataset(data_dir, image_size)
     return ImageFolderDataset(data_dir, image_size)
 
