@@ -105,7 +105,7 @@ def main(opt):
         if val_ds is not None and it % val_freq == 0:
             metrics = model.validate(state.params,
                                      paired_loader(val_ds, 1, shuffle=False),
-                                     max_batches=8)
+                                     max_batches=8, step=it)
             logger.log(f"validation @ {it}: {metrics}")
         if it % save_freq == 0 or it >= total_iter:
             model.save(state, exp_root)
@@ -113,8 +113,10 @@ def main(opt):
     if val_ds is not None:
         metrics = model.validate(state.params,
                                  paired_loader(val_ds, 1, shuffle=False),
-                                 max_batches=8)
+                                 max_batches=8, step=int(state.step))
         logger.log("final validation:", metrics)
+        if model.best_tracker.best:
+            logger.log("best metrics:", model.best_tracker.summary())
         return state, metrics
     return state, {}
 

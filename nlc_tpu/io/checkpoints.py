@@ -21,10 +21,13 @@ def _checkpointer():
 
 
 def save_pytree(tree: Any, path: str) -> None:
-    """Primary-host-only pytree save (rank-0 + barrier semantics come free:
-    collectives in the next step synchronize)."""
-    if jax.process_index() != 0:
-        return
+    """Collective pytree save — EVERY process must call it.
+
+    Orbax elects the primary host as the writer and runs internal cross-host
+    barriers; an early return on rank>0 would desync those barriers and
+    deadlock rank 0. This is the counterpart of the reference's rank-0
+    torch.save + dist.barrier() (experiments.py:238-252), with the
+    rank gating owned by orbax instead of the caller."""
     path = os.path.abspath(path)
     cp = _checkpointer()
     tree = jax.tree_util.tree_map(np.asarray, tree)

@@ -32,14 +32,19 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
     an NCCL process group, JAX discovers peers from the TPU runtime (or the
     explicit coordinator address) once per process.
     """
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
-    if coordinator is not None or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    if coordinator is None and not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    # NOTE: do not probe jax.process_count() here — it initializes the local
+    # backend, after which distributed.initialize refuses to run.
+    try:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=num_processes,
             process_id=process_id,
         )
+    except RuntimeError as e:  # already wired up by the runtime / earlier call
+        if "already" not in str(e).lower():
+            raise
 
 
 def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = None,

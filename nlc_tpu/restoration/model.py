@@ -4,8 +4,13 @@ ImageRestorationModel/BaseModel (reference basicsr/models/base_model.py:63-331,
 image_restoration_model.py:109-381).
 
 The torch version wires DDP + per-rank metric reduction; here the train step
-jits over the data mesh and metric reduction is a host-side mean (single
-process) or psum (multi-host) — same observable behavior.
+jits over the data mesh, validation shards the set round-robin by process
+(image_restoration_model.py:271-273) and reduces per-rank metric sums with a
+cross-process all-gather (`_cross_process_sum`, the counterpart of its
+torch.distributed.reduce at :364), so every process sees the global means.
+Load-time key-diff reporting and best-metric tracking follow
+base_model.py:227-289 and the val bookkeeping around
+image_restoration_model.py:256-381.
 """
 from __future__ import annotations
 
@@ -35,6 +40,59 @@ class RestorationTrainState:
     step: jnp.ndarray
 
 
+def flatten_param_paths(tree) -> Dict[str, np.ndarray]:
+    """Param pytree -> {dot.path: leaf} for state-dict-style key comparison."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        name = ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in path)
+        flat[name] = leaf
+    return flat
+
+
+def _cross_process_sum(values: np.ndarray) -> np.ndarray:
+    """Sum a small metric vector across processes (the counterpart of the
+    reference's torch.distributed.reduce of stacked metric tensors,
+    image_restoration_model.py:358-364 / base_model.py:331-349). Every
+    process gets the global sum (all-reduce rather than reduce-to-rank-0:
+    rank 0 is the only writer anyway, and symmetric results keep the JAX
+    single-controller model simple)."""
+    values = np.asarray(values, np.float64)
+    if jax.process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(values),
+                      np.float64).sum(axis=0)
+
+
+class BestMetricTracker:
+    """Track the best value per metric across validations
+    (higher-is-better for psnr/ssim, lower for niqe/lpips/fid)."""
+
+    LOWER_BETTER = ("niqe", "lpips", "fid", "loss", "mse")
+
+    def __init__(self):
+        self.best: Dict[str, float] = {}
+        self.best_iter: Dict[str, int] = {}
+
+    def update(self, metrics: Dict[str, float], step: int) -> Dict[str, bool]:
+        improved = {}
+        for name, value in metrics.items():
+            lower = any(name.lower().startswith(p) for p in self.LOWER_BETTER)
+            prev = self.best.get(name)
+            is_best = (prev is None or
+                       (value < prev if lower else value > prev))
+            if is_best:
+                self.best[name] = float(value)
+                self.best_iter[name] = int(step)
+            improved[name] = is_best
+        return improved
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"value": self.best[k], "iter": self.best_iter[k]}
+                for k in self.best}
+
+
 class RestorationModel:
     def __init__(self, opt: dict):
         self.opt = opt
@@ -54,6 +112,7 @@ class RestorationModel:
         # archs can declare frozen sub-trees (PANet's CLIP tower — the
         # reference sets requires_grad_(False) on it, PANet_arch.py:245)
         self.frozen_prefixes = tuple(getattr(self.net, "frozen_prefixes", ()))
+        self.best_tracker = BestMetricTracker()
         self._jit_step = None
         self._jit_test = None
 
@@ -140,12 +199,20 @@ class RestorationModel:
 
     # ---- validation ----
     def validate(self, params, loader, use_grids: bool = False,
-                 crop_size: int = 256, max_batches: Optional[int] = None
-                 ) -> Dict[str, float]:
-        psnrs, ssims = [], []
+                 crop_size: int = 256, max_batches: Optional[int] = None,
+                 step: Optional[int] = None) -> Dict[str, float]:
+        """Distributed validation (image_restoration_model.py:256-381):
+        batches are sharded round-robin across processes (idx % world == rank,
+        reference :272-273), per-rank metric SUMS + count are reduced
+        cross-process, and the global mean is returned on every process.
+        When `step` is given, best-metric tracking updates too."""
+        rank, world = jax.process_index(), jax.process_count()
+        sums = np.zeros(3, np.float64)        # psnr_sum, ssim_sum, cnt
         for i, (lq, gt) in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
+            if i % world != rank:
+                continue
             lq = jnp.asarray(lq)
             pred = (self.test_grids(params, lq, crop_size) if use_grids
                     else self.test(params, lq))
@@ -153,9 +220,26 @@ class RestorationModel:
             for j in range(len(gt)):
                 a = (pred01[j] * 255).round().astype(np.uint8)
                 bb = (np.asarray(gt[j]) * 255).round().astype(np.uint8)
-                psnrs.append(calculate_psnr(a, bb, crop_border=0))
-                ssims.append(calculate_ssim(a, bb, crop_border=0))
-        return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
+                sums += (calculate_psnr(a, bb, crop_border=0),
+                         calculate_ssim(a, bb, crop_border=0), 1.0)
+        total = _cross_process_sum(sums)
+        cnt = max(total[2], 1.0)
+        metrics = {"psnr": float(total[0] / cnt), "ssim": float(total[1] / cnt)}
+        if step is not None:
+            improved = self.best_tracker.update(metrics, step)
+            metrics["is_best"] = improved
+            metrics["best"] = self.best_tracker.summary()
+        return metrics
+
+    def reduce_loss_dict(self, loss_dict: Dict[str, Any]) -> Dict[str, float]:
+        """Average a loss dict across processes for logging
+        (base_model.py:331-356 reduce_loss_dict)."""
+        keys = sorted(loss_dict)
+        vals = np.asarray([float(np.mean(np.asarray(loss_dict[k])))
+                           for k in keys], np.float64)
+        total = _cross_process_sum(vals)
+        return {k: float(v / jax.process_count())
+                for k, v in zip(keys, total)}
 
     # ---- checkpointing (save_network/resume parity, base_model.py:195-330) ----
     def save(self, state: RestorationTrainState, path: str, label: str = "net_g"):
@@ -169,3 +253,55 @@ class RestorationModel:
         return RestorationTrainState(
             params=data["params"], ema_params=data["ema_params"],
             opt_state=data["opt_state"], step=jnp.asarray(int(data["step"])))
+
+    def load_network(self, current_params, path: str, strict: bool = True,
+                     param_key: str = "params", log=None):
+        """Load a checkpoint's param tree into `current_params` with the
+        reference's key-diff report (base_model.py:227-289):
+
+        * keys present on only one side are listed as warnings;
+        * strict=True raises on any difference (load_state_dict strict);
+        * strict=False loads the intersection, skipping shape mismatches
+          (each skip logged), keeping current values elsewhere.
+
+        Returns (params, report) where report = {missing, unexpected,
+        size_mismatch} (sorted dot-path lists).
+        """
+        log = log or (lambda msg: print(msg, flush=True))
+        data = load_pytree(path)
+        loaded = data.get(param_key, data) if isinstance(data, dict) else data
+        cur_flat = flatten_param_paths(current_params)
+        new_flat = flatten_param_paths(loaded)
+        missing = sorted(set(cur_flat) - set(new_flat))
+        unexpected = sorted(set(new_flat) - set(cur_flat))
+        if missing or unexpected:
+            log("Current net - loaded net:")
+            for k in missing:
+                log(f"  {k}")
+            log("Loaded net - current net:")
+            for k in unexpected:
+                log(f"  {k}")
+        size_mismatch = []
+        merged = dict(cur_flat)
+        for k in set(cur_flat) & set(new_flat):
+            if np.shape(cur_flat[k]) != np.shape(new_flat[k]):
+                size_mismatch.append(k)
+                log(f"Size different, ignore [{k}]: crt_net: "
+                    f"{np.shape(cur_flat[k])}; load_net: {np.shape(new_flat[k])}")
+            else:
+                merged[k] = new_flat[k]
+        size_mismatch.sort()
+        report = {"missing": missing, "unexpected": unexpected,
+                  "size_mismatch": size_mismatch}
+        if strict and (missing or unexpected or size_mismatch):
+            raise ValueError(f"checkpoint/network key mismatch: {report}")
+        # rebuild the tree with loaded leaves in current structure
+        leaves_by_path = merged
+        def replace(path, leaf):
+            name = ".".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                            for k in path)
+            new = leaves_by_path[name]
+            return jnp.asarray(new).astype(np.asarray(leaf).dtype) \
+                if np.shape(new) == np.shape(leaf) else leaf
+        params = jax.tree_util.tree_map_with_path(replace, current_params)
+        return params, report
