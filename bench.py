@@ -12,12 +12,13 @@ Prints ONE JSON line:
   {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
 
 vs_baseline divides by an ESTIMATED A100 torch reference of 0.30
-images/sec/chip for this workload: the ADM-256 forward is ~1.1 TFLOPs, the
-NLC step runs ~1.5 forwards (encoder pass + full pass,
-experiments.py:399-460) => ~82 TFLOPs/image at 50 steps; the reference runs
-fp32 (TF32 convs) with per-step Python dispatch and host syncs, yielding
-~25 TFLOP/s effective on A100 => ~0.30 img/s. BASELINE.json's >=5x target
-means vs_baseline >= 5.0 wins. Set NLC_BENCH_MODEL=ddim for the secondary
+images/sec/chip for this workload (full derivation:
+docs/BENCHMARKS.md "Baseline derivation"): XLA cost analysis puts one NLC
+'pred' step at 2.77 TFLOP/image (2.20 full forward + 0.57 encoder tap,
+experiments.py:399-460 runs the same math), so 50 steps = ~139 TFLOP/image;
+eager TF32 torch at 20-30% of A100 tensor-core peak sustains 31-47 TF/s
+=> 0.22-0.34 img/s, and 0.30 is the generous end. BASELINE.json's >=5x
+target means vs_baseline >= 5.0 wins. Set NLC_BENCH_MODEL=ddim for the secondary
 celeba_hq-class DDIM-UNet workload (logged to stderr runs historically at
 ~2.7 img/s).
 """
@@ -56,6 +57,7 @@ def main():
 
     quick = "--quick" in sys.argv
     kind = os.environ.get("NLC_BENCH_MODEL", "adm")
+    quant = os.environ.get("NLC_BENCH_QUANT") or None
     res = 64 if quick else 256
     batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "8"))
     steps = 10 if quick else 50
@@ -71,7 +73,7 @@ def main():
     elif kind == "ddim":
         cfg = DDIMUNetConfig(ch=128, out_ch=3, ch_mult=(1, 1, 2, 2, 4, 4),
                              num_res_blocks=2, attn_resolutions=(16,),
-                             resolution=res)
+                             resolution=res, quant_backend=quant)
         batch = int(os.environ.get("NLC_BENCH_BATCH", "8"))
     if kind == "ddim":
         model = DDIMUNet(cfg, dtype=jnp.bfloat16)
@@ -80,13 +82,17 @@ def main():
         learn_epsvar = False
         model_name = "DDIM-UNet"
     else:
-        # guided-diffusion 256^2 uncond config (LSUN/ImageNet class)
+        # guided-diffusion 256^2 uncond config (LSUN/ImageNet class);
+        # NLC_BENCH_QUANT=taps|conv runs the interior convs W8A8 int8
+        # (ops/quant.py) — quality-validated in tests/test_quant.py and
+        # docs/BENCHMARKS.md
         cfg = ADMUNetConfig(image_size=res, model_channels=256, out_channels=6,
                             num_res_blocks=2,
                             attention_resolutions=(8, 16, 32),
                             channel_mult=(1, 1, 2, 2, 4, 4), num_heads=4,
                             num_head_channels=64, use_scale_shift_norm=True,
-                            resblock_updown=True, feat_layer=1)
+                            resblock_updown=True, feat_layer=1,
+                            quant_backend=quant)
         model = ADMUNet(cfg, dtype=jnp.bfloat16)
         d, _, ch = cfg.feat_shape
         head = ADMSigmaHead(dim=d, channels=ch, n_blocks=2, dropout=0.0,
@@ -142,9 +148,12 @@ def main():
     log(f"batch {batch}, {steps} steps: {dt:.3f}s/batch -> {imgs_per_sec:.3f} img/s")
 
     baseline = A100_TORCH_IMGS_PER_SEC["ddim" if quick else kind]
+    prec = "bf16"
+    if not quick and getattr(cfg, "quant_backend", None):
+        prec = f"int8-{cfg.quant_backend}"
     result = {
         "metric": f"images/sec/chip, {steps}-step NLC-DDIM {res}x{res} "
-                  f"{model_name} sampling (bf16, style={dcfg.style})",
+                  f"{model_name} sampling ({prec}, style={dcfg.style})",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),

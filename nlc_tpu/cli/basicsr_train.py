@@ -68,6 +68,11 @@ def main(opt):
                                        os.path.join("experiments",
                                                     opt.get("name", "run")))
     os.makedirs(exp_root, exist_ok=True)
+    # reference train.py:init_tb_loggers — wandb (if configured) must start
+    # before tb so sync_tensorboard catches the event dir
+    if (opt.get("logger", {}).get("wandb") or {}).get("project") is not None:
+        from ..utils.logger import init_wandb_logger
+        init_wandb_logger(opt)
 
     model = RestorationModel(opt)
     dtrain = opt.get("datasets", {}).get("train")

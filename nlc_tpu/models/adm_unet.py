@@ -22,6 +22,21 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import GroupNorm, adm_timestep_embedding, attention, swish
+from ..ops.quant import QuantConv
+
+
+def _make_conv(quant, features, kernel_size, *, name, dtype,
+               strides=(1, 1), padding="SAME", kernel_init=None):
+    """nn.Conv or its W8A8 int8 drop-in (same {kernel, bias} param layout, so
+    converted torch checkpoints load on either path). `quant` is the int8
+    backend name from ADMUNetConfig.quant_backend, or None for bf16/fp32."""
+    ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
+    kw = dict(strides=strides, padding=padding, dtype=dtype, name=name)
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    if quant:
+        return QuantConv(features, ks, backend=quant, **kw)
+    return nn.Conv(features, ks, **kw)
 
 
 class ADMResBlock(nn.Module):
@@ -34,6 +49,7 @@ class ADMResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -48,7 +64,8 @@ class ADMResBlock(nn.Module):
         elif self.down:
             h = nn.avg_pool(h, (2, 2), strides=(2, 2))
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = _make_conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
+                       name="in_conv")(h)
 
         e = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
                      dtype=self.dtype, name="emb_proj")(swish(emb))
@@ -61,14 +78,17 @@ class ADMResBlock(nn.Module):
             h = GroupNorm(eps=1e-5, name="out_norm")(h)
             h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                    kernel_init=nn.initializers.zeros_init(), name="out_conv")(h)
+        h = _make_conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
+                       kernel_init=nn.initializers.zeros_init(),
+                       name="out_conv")(h)
 
         if out_ch != in_ch:
             if self.use_conv_skip:
-                x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="skip")(x)
+                x = _make_conv(self.quant, out_ch, 3, padding=1,
+                               dtype=self.dtype, name="skip")(x)
             else:
-                x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="skip")(x)
+                x = _make_conv(self.quant, out_ch, 1, dtype=self.dtype,
+                               name="skip")(x)
         return x + h
 
 
@@ -124,12 +144,14 @@ class ADMAttention(nn.Module):
 class ADMUpsample(nn.Module):
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         x = _nearest_up(x)
         if self.use_conv:
-            x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+            x = _make_conv(self.quant, x.shape[-1], 3, padding=1,
+                           dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -137,12 +159,13 @@ class ADMDownsample(nn.Module):
     """Stride-2 3x3 conv with symmetric pad 1 (torch padding=1), or avg pool."""
     use_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         if self.use_conv:
-            return nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding=1,
-                           dtype=self.dtype, name="conv")(x)
+            return _make_conv(self.quant, x.shape[-1], 3, strides=(2, 2),
+                              padding=1, dtype=self.dtype, name="conv")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -167,6 +190,10 @@ class ADMUNetConfig:
     resblock_updown: bool = False
     use_new_attention_order: bool = False
     feat_layer: int = 1
+    # int8 W8A8 conv backend ('taps' | 'conv', ops/quant.py) for the interior
+    # convs; the stem conv and the output conv stay in the compute dtype
+    # (standard first/last-layer exemption). None = full-precision path.
+    quant_backend: Optional[str] = None
 
     @property
     def learn_epsvar(self) -> bool:
@@ -196,7 +223,8 @@ class ADMUNet(nn.Module):
         def res(idx, **kw):
             return ADMResBlock(dropout=cfg.dropout,
                                use_scale_shift_norm=cfg.use_scale_shift_norm,
-                               dtype=self.dtype, name=idx, **kw)
+                               dtype=self.dtype, quant=cfg.quant_backend,
+                               name=idx, **kw)
 
         def attn(idx, heads):
             return ADMAttention(num_heads=heads, num_head_channels=cfg.num_head_channels,
@@ -225,6 +253,7 @@ class ADMUNet(nn.Module):
                                           down=True))]
                 else:
                     layers = [("down", ADMDownsample(cfg.conv_resample, dtype=self.dtype,
+                                                     quant=cfg.quant_backend,
                                                      name=f"input_blocks_{bi}_0"))]
                 input_blocks.append(layers)
                 input_chans.append(ch)
@@ -257,6 +286,7 @@ class ADMUNet(nn.Module):
                     else:
                         layers.append(("up", ADMUpsample(cfg.conv_resample,
                                                          dtype=self.dtype,
+                                                         quant=cfg.quant_backend,
                                                          name=f"output_blocks_{bo}_{li}")))
                     ds //= 2
                 output_blocks.append(layers)

@@ -9,6 +9,19 @@ from flax import linen as nn
 from .layers import GroupNorm, swish
 
 
+def _conv(quant, features, kernel_size, *, name, dtype, padding="SAME"):
+    """nn.Conv or the W8A8 int8 drop-in (identical param layout)."""
+    if quant:
+        from ..ops.quant import QuantConv
+        ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
+            else tuple(kernel_size)
+        return QuantConv(features, ks, padding=padding, dtype=dtype,
+                         backend=quant, name=name)
+    return nn.Conv(features, kernel_size if not isinstance(kernel_size, int)
+                   else (kernel_size, kernel_size), padding=padding,
+                   dtype=dtype, name=name)
+
+
 class ResnetBlock(nn.Module):
     """DDIM-style resblock (reference src/unet_simple.py:77-134).
 
@@ -20,6 +33,7 @@ class ResnetBlock(nn.Module):
     conv_shortcut: bool = False
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
@@ -29,19 +43,22 @@ class ResnetBlock(nn.Module):
 
         h = GroupNorm(name="norm1")(x)
         h = swish(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = _conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
+                  name="conv1")(h)
         if temb is not None:
             t = nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(swish(temb))
             h = h + t[:, None, None, :]
         h = GroupNorm(name="norm2")(h)
         h = swish(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = _conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
+                  name="conv2")(h)
 
         if in_ch != out_ch:
             if self.conv_shortcut:
-                x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
-                            name="conv_shortcut")(x)
+                x = _conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
+                          name="conv_shortcut")(x)
             else:
-                x = nn.Conv(out_ch, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
+                x = _conv(self.quant, out_ch, 1, dtype=self.dtype,
+                          name="nin_shortcut")(x)
         return x + h

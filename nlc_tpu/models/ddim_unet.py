@@ -15,7 +15,7 @@ set of params serves all call paths under jit/scan.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -38,6 +38,9 @@ class DDIMUNetConfig:
     resolution: int = 32
     resamp_with_conv: bool = True
     feat_layer: int = 0
+    # int8 W8A8 conv backend ('taps' | 'conv', ops/quant.py) for interior
+    # convs; conv_in / conv_out stay full precision. None = bf16/fp32 path.
+    quant_backend: Optional[str] = None
 
     @property
     def feat_shape(self) -> Tuple[int, int, int]:
@@ -70,7 +73,7 @@ class DDIMUNet(nn.Module):
             has_attn = curr_res in cfg.attn_resolutions
             for i_block in range(cfg.num_res_blocks):
                 blocks.append(ResnetBlock(out_channels=block_out, dropout=cfg.dropout,
-                                          dtype=self.dtype,
+                                          dtype=self.dtype, quant=cfg.quant_backend,
                                           name=f"down_{i_level}_block_{i_block}"))
                 block_in = block_out
                 if has_attn:
@@ -81,6 +84,7 @@ class DDIMUNet(nn.Module):
             down_attns.append(attns)
             if i_level != num_res - 1:
                 downsamples.append(Downsample(cfg.resamp_with_conv, dtype=self.dtype,
+                                              quant=cfg.quant_backend,
                                               name=f"down_{i_level}_downsample"))
                 curr_res //= 2
             else:
@@ -90,9 +94,9 @@ class DDIMUNet(nn.Module):
         self.downsamples = downsamples
         self._down_has_attn = tuple(down_has_attn)
 
-        self.mid_block_1 = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, name="mid_block_1")
+        self.mid_block_1 = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, quant=cfg.quant_backend, name="mid_block_1")
         self.mid_attn_1 = SpatialSelfAttention(dtype=self.dtype, name="mid_attn_1")
-        self.mid_block_2 = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, name="mid_block_2")
+        self.mid_block_2 = ResnetBlock(dropout=cfg.dropout, dtype=self.dtype, quant=cfg.quant_backend, name="mid_block_2")
 
         up_blocks, up_attns, upsamples = [], [], []
         up_has_attn = [False] * num_res
@@ -102,7 +106,7 @@ class DDIMUNet(nn.Module):
             has_attn = curr_res in cfg.attn_resolutions
             for i_block in range(cfg.num_res_blocks + 1):
                 blocks.append(ResnetBlock(out_channels=block_out, dropout=cfg.dropout,
-                                          dtype=self.dtype,
+                                          dtype=self.dtype, quant=cfg.quant_backend,
                                           name=f"up_{i_level}_block_{i_block}"))
                 if has_attn:
                     attns.append(SpatialSelfAttention(dtype=self.dtype,
@@ -112,6 +116,7 @@ class DDIMUNet(nn.Module):
             up_attns.insert(0, attns)
             if i_level != 0:
                 upsamples.insert(0, Upsample(cfg.resamp_with_conv, dtype=self.dtype,
+                                             quant=cfg.quant_backend,
                                              name=f"up_{i_level}_upsample"))
                 curr_res *= 2
             else:

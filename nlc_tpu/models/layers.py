@@ -103,11 +103,17 @@ class Upsample(nn.Module):
     """Nearest 2x upsample + optional 3x3 conv (reference unet_simple.py:36-52)."""
     with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         x = nearest_upsample_2x(x)
         if self.with_conv:
+            if self.quant:
+                from ..ops.quant import QuantConv
+                return QuantConv(x.shape[-1], (3, 3), padding="SAME",
+                                 dtype=self.dtype, backend=self.quant,
+                                 name="conv")(x)
             x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
         return x
 
@@ -117,11 +123,17 @@ class Downsample(nn.Module):
     (reference unet_simple.py:55-74), or 2x2 avg-pool without conv."""
     with_conv: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
         if self.with_conv:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            if self.quant:
+                from ..ops.quant import QuantConv
+                return QuantConv(x.shape[-1], (3, 3), strides=(2, 2),
+                                 padding="VALID", dtype=self.dtype,
+                                 backend=self.quant, name="conv")(x)
             x = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
                         dtype=self.dtype, name="conv")(x)
         else:

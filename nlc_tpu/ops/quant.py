@@ -1,0 +1,149 @@
+"""Int8 quantized convolution path for the sampling UNets.
+
+The 5x throughput north-star exceeds the chip's bf16 ceiling at 'pred'-loop
+FLOPs (docs/BENCHMARKS.md roofline: ~208 TF/s needed vs ~131 TF/s measured),
+so the remaining compute lever is the MXU's higher int8 rate. This module
+provides W8A8 convolution:
+
+  * weights: per-output-channel symmetric int8 (absmax / 127), quantized
+    from the SAME param tree the bf16 path uses — converted torch
+    checkpoints work unchanged; quantization happens inside the jitted
+    program and XLA hoists it out of the sampling scan (loop-invariant).
+  * activations: dynamic per-tensor symmetric int8, computed per call.
+  * accumulation: int32 on the MXU, dequantized into the requested dtype
+    with the fused (act_scale * per-channel weight_scale) epilogue.
+
+Two backends (select via backend=):
+  'conv'    lax.conv_general_dilated on int8 operands -> int32.
+  'taps'    KxK conv decomposed into K*K shifted 1x1 convs, each an int8
+            (B*H*W, Cin) @ (Cin, Cout) matmul accumulated in int32 — for
+            hardware/compiler combos where the int8 MXU rate is only
+            reachable through dot, not conv.
+
+The reference has no quantized path (pure fp16/fp32 torch,
+src/fp16_util.py); this is a TPU-native performance extension, opt-in via
+model config, validated for quality against the bf16 path (tests +
+docs/BENCHMARKS.md trajectory/FID studies).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def quantize_symmetric(x: jnp.ndarray, axis=None,
+                       eps: float = 1e-12) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric absmax int8 quantization. Returns (q, scale) with
+    x ~= q * scale. `axis`: reduction axes for the absmax (None = per-tensor;
+    for HWIO conv kernels use (0,1,2) -> per-output-channel scales)."""
+    amax = jnp.max(jnp.abs(x), axis=axis, keepdims=axis is not None)
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _dequant_epilogue(acc_i32, a_scale, w_scale, bias, out_dtype):
+    y = acc_i32.astype(jnp.float32) * (a_scale * w_scale.reshape(1, 1, 1, -1))
+    if bias is not None:
+        y = y + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
+              strides: Sequence[int] = (1, 1), padding="SAME",
+              backend: str = "taps", out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """W8A8 NHWC convolution with fp kernel input (quantized here so the
+    caller's param tree stays identical to the bf16 path)."""
+    wq, w_scale = quantize_symmetric(kernel.astype(jnp.float32), axis=(0, 1, 2))
+    a_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+    a_scale = jnp.maximum(a_scale, 1e-12)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                  -127, 127).astype(jnp.int8)
+    w_scale = w_scale.reshape(-1)
+
+    if backend == "conv":
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, tuple(strides), padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return _dequant_epilogue(acc, a_scale, w_scale, bias, out_dtype)
+
+    if backend == "taps":
+        return _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding,
+                          out_dtype)
+    raise ValueError(f"unknown int8 conv backend: {backend}")
+
+
+def _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding, out_dtype):
+    """KxK conv as K*K shifted 1x1 convs, each an int8 matmul on the MXU.
+
+    For tap (dy, dx): out[n, y, x, :] += x[n, y*s+dy-py, x*s+dx-px, :] @
+    w[dy, dx]. With SAME padding we pad once, then every tap is a strided
+    slice followed by a (B*H*W, Cin) @ (Cin, Cout) dot — MXU-shaped, int32
+    accumulation, no im2col materialization in HBM (XLA fuses the slices).
+    """
+    n, h, w, cin = xq.shape
+    kh, kw, _, cout = wq.shape
+    sy, sx = strides
+    if isinstance(padding, str) and padding == "SAME":
+        oh = -(-h // sy)
+        ow = -(-w // sx)
+        pad_h = max((oh - 1) * sy + kh - h, 0)
+        pad_w = max((ow - 1) * sx + kw - w, 0)
+        pt, pl = pad_h // 2, pad_w // 2
+        pb, pr = pad_h - pt, pad_w - pl
+    elif isinstance(padding, str):  # VALID
+        oh = (h - kh) // sy + 1
+        ow = (w - kw) // sx + 1
+        pt = pl = pb = pr = 0
+    else:  # explicit [(pt, pb), (pl, pr)]
+        (pt, pb), (pl, pr) = padding
+        oh = (h + pt + pb - kh) // sy + 1
+        ow = (w + pl + pr - kw) // sx + 1
+    xp = jnp.pad(xq, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+
+    acc = jnp.zeros((n, oh, ow, cout), jnp.int32)
+    for dy in range(kh):
+        for dx in range(kw):
+            sl = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (n, dy + (oh - 1) * sy + 1, dx + (ow - 1) * sx + 1, cin),
+                (1, sy, sx, 1))
+            tap = jax.lax.dot_general(
+                sl.reshape(n * oh * ow, cin), wq[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = acc + tap.reshape(n, oh, ow, cout)
+    return _dequant_epilogue(acc, a_scale, w_scale, bias, out_dtype)
+
+
+class QuantConv(nn.Module):
+    """Drop-in replacement for nn.Conv (NHWC, HWIO params named kernel/bias —
+    converted torch checkpoints load unchanged) running the W8A8 path.
+
+    quant=None falls through to nn.Conv so models can thread one flag."""
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: object = "SAME"
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.bfloat16
+    backend: str = "taps"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) if self.use_bias else None
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        return int8_conv(x, kernel, bias, self.strides, pad,
+                         backend=self.backend, out_dtype=self.dtype)

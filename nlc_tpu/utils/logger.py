@@ -305,3 +305,31 @@ def jax_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def init_tb_logger(log_dir: str) -> KVWriter:
+    """BasicSR-surface tb hook (reference basicsr/utils/logger.py:91-97):
+    returns the dependency-free event writer rooted at log_dir."""
+    return make_output_format("tensorboard", log_dir)
+
+
+def init_wandb_logger(opt) -> None:
+    """BasicSR-surface wandb hook (reference basicsr/utils/logger.py:100-123,
+    "only used to sync tensorboard"). This environment has no egress, so when
+    the wandb package is absent the hook degrades to a logged no-op instead
+    of failing the run; with wandb installed it mirrors the reference's
+    resume-id semantics."""
+    try:
+        import wandb
+    except ImportError:
+        log("wandb requested but not installed; tensorboard events still "
+            "written locally (no-egress environment)")
+        return None
+    wcfg = opt.get("logger", {}).get("wandb", {}) if isinstance(opt, dict) \
+        else {}
+    resume_id = wcfg.get("resume_id")
+    wandb.init(id=resume_id or wandb.util.generate_id(),
+               resume="allow" if resume_id else "never",
+               name=opt.get("name"), config=opt,
+               project=wcfg.get("project"), sync_tensorboard=True)
+    return None
