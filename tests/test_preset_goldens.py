@@ -268,18 +268,30 @@ def test_50step_projection_loop_matches_torch(ddim64):
     # image_sample.py imports the reference datasets package, which pulls
     # torchvision submodules this image lacks; the projection loop under
     # test never touches them
-    for name, attrs in [
-            ("torchvision.transforms", ("Compose", "Resize",
-                                        "RandomHorizontalFlip", "ToTensor",
-                                        "CenterCrop")),
-            ("torchvision.transforms.functional", ()),
-            ("torchvision.datasets", ()),
-            ("torchvision.datasets.utils", ("verify_str_arg",
-                                            "iterable_to_str"))]:
+    stub_mods = [
+        ("torchvision.transforms", ("Compose", "Resize",
+                                    "RandomHorizontalFlip", "ToTensor",
+                                    "CenterCrop")),
+        ("torchvision.transforms.functional", ()),
+        ("torchvision.datasets", ()),
+        ("torchvision.datasets.utils", ("verify_str_arg",
+                                        "iterable_to_str"))]
+    # later reference imports through these stubs (e.g. clip.py's
+    # Normalize / InterpolationMode.BICUBIC) must not break on names this
+    # test didn't anticipate: any attribute resolves to a permissive dummy
+    class _AnyStub:
+        def __call__(self, *a, **k):
+            return self
+
+        def __getattr__(self, _):
+            return self
+    _any = _AnyStub()
+    for name, attrs in stub_mods:
         if name not in sys.modules:
             mod = types.ModuleType(name)
             for a in attrs:
                 setattr(mod, a, lambda *x, **k: None)
+            mod.__getattr__ = lambda a, _any=_any: _any   # PEP 562
             sys.modules[name] = mod
             parent, _, child = name.rpartition(".")
             if parent in sys.modules:
