@@ -75,6 +75,18 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     if backend == "taps":
         return _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding,
                           out_dtype)
+
+    if backend == "pallas":
+        # fused VMEM kernel for the stride-1 SAME 3x3 hot shapes; everything
+        # else (stride-2 down convs, 1x1 skips) takes the taps path
+        from .quant_pallas import int8_conv3x3_pallas, pallas_conv_applicable
+        if pallas_conv_applicable(xq.shape, wq.shape, strides, padding):
+            fused = (a_scale * w_scale).astype(jnp.float32)
+            b = (bias if bias is not None
+                 else jnp.zeros((wq.shape[-1],))).astype(jnp.float32)
+            return int8_conv3x3_pallas(xq, wq, fused, b, out_dtype=out_dtype)
+        return _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding,
+                          out_dtype)
     raise ValueError(f"unknown int8 conv backend: {backend}")
 
 

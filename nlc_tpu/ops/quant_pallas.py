@@ -1,0 +1,97 @@
+"""Fused Pallas int8 3x3 convolution for the quantized sampling path.
+
+Why a hand kernel: the 'taps' backend (ops/quant.py) decomposes a 3x3 conv
+into 9 shifted int8 matmuls, which re-reads the input slab from HBM once per
+tap — ~9x the memory traffic of a direct conv. At the flagship's hot shapes
+(256^2 x 256ch) that makes taps HBM-bound well below the chip's int8 MXU
+rate. This kernel makes the int8 path compute-bound: each (TH+2, W+2, C)
+input slab is DMA'd from HBM into VMEM ONCE, and the 9 taps become 9 MXU
+int8 dot_generals reading the slab at VMEM bandwidth, accumulating int32,
+with the dequant epilogue fused before the bf16 writeback.
+
+Scope: stride-1 SAME 3x3 NHWC convs (the UNet hot op). Other shapes fall
+back to the 'taps'/'conv' backends in ops/quant.py. Integer arithmetic is
+identical to those backends, so outputs are bit-identical — asserted in
+tests/test_quant_pallas.py via interpret mode.
+
+The reference has no analogue (pure torch/cudnn, src/fp16_util.py is its
+only precision machinery); this is TPU-native performance work.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, slab, sem,
+                 *, th, w_out, cin, cout):
+    n = pl.program_id(0)
+    ht = pl.program_id(1)
+
+    # one HBM->VMEM copy of the (TH+2, W+2, C) halo slab for this tile
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(ht * th, th + 2)], slab, sem)
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((th, w_out, cout), jnp.int32)
+    for dy in range(3):
+        for dx in range(3):
+            window = slab[dy:dy + th, dx:dx + w_out, :]
+            acc = acc + jax.lax.dot_general(
+                window, w_ref[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+    y = acc.astype(jnp.float32) * scale_ref[0][None, None, :]
+    y = y + bias_ref[0][None, None, :]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
+                        interpret=False):
+    """xq: (N, H, W, C) int8. wq: (3, 3, C, Cout) int8. scale: (Cout,) f32 —
+    the fused a_scale * w_scale dequant factor. bias: (Cout,) f32 (zeros if
+    none). Returns (N, H, W, Cout) out_dtype. Stride 1, SAME."""
+    n, h, w, c = xq.shape
+    cout = wq.shape[-1]
+    th = h if h <= 16 else max(t for t in (16, 32) if h % t == 0)
+    assert h % th == 0, (h, th)
+
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    grid = (n, h // th)
+    return pl.pallas_call(
+        functools.partial(_conv_kernel, th=th, w_out=w, cin=c, cout=cout),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),            # x stays in HBM
+            pl.BlockSpec((3, 3, c, cout), lambda i, j: (0, 0, 0, 0)),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, cout), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2, w + 2, c), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wq, scale.reshape(1, cout), bias.reshape(1, cout))
+
+
+def pallas_conv_applicable(x_shape, kernel_shape, strides, padding) -> bool:
+    """stride-1 SAME 3x3 with a tileable H (the UNet hot-op shape)."""
+    kh, kw = kernel_shape[:2]
+    if (kh, kw) != (3, 3) or tuple(strides) != (1, 1):
+        return False
+    if not (padding == "SAME" or padding == [(1, 1), (1, 1)]
+            or padding == ((1, 1), (1, 1))):
+        return False
+    h = x_shape[1]
+    return h <= 16 or h % 16 == 0
