@@ -10,7 +10,9 @@ writing the weight matrix to HBM.
 Shapes: q, k, v (B, H, N, D) -> (B, H, N, D), matching models.layers.attention.
 The public entry falls back to the XLA einsum path when the working set
 exceeds the VMEM budget or when disabled (NLC_DISABLE_PALLAS_ATTN=1, or on
-non-TPU backends where Mosaic is unavailable).
+non-TPU backends where Mosaic is unavailable). Training differentiates
+through a matching flash-style Pallas backward (softmax recomputed in VMEM,
+no N x N residual in HBM) under its own, tighter VMEM gate.
 """
 from __future__ import annotations
 
@@ -76,6 +78,73 @@ def _pallas_attention_fwd_impl(q, k, v, scale: float):
     return out.reshape(b, h, n, d)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                     scale):
+    # Flash-style backward: the softmax weights are recomputed from q/k in
+    # VMEM (never saved to HBM by the forward), then the three gradients are
+    # produced by four MXU matmuls per (batch*head) cell:
+    #   dV = P^T g;  dP = g V^T;  dS = P o (dP - rowsum(dP o P)) * scale;
+    #   dQ = dS K;   dK = dS^T Q.
+    q = q_ref[0]                                   # (N, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    g = g_ref[0]
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (N, N) fp32
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)        # fp32 probs
+    pc = p.astype(v.dtype)                            # matmul operand dtype
+    dv_ref[0] = jax.lax.dot_general(                  # P^T g  -> (N, D)
+        pc, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(                         # g V^T  -> (N, N) fp32
+        g, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)   # = rowsum(g o out)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    dq_ref[0] = jax.lax.dot_general(                  # dS K   -> (N, D)
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jax.lax.dot_general(                  # dS^T Q -> (N, D)
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _pallas_attention_bwd_impl(q, k, v, g, scale: float, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = q.shape
+    flat = lambda x: x.reshape(b * h, n, d)
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=(b * h,),
+        in_specs=[spec] * 4,
+        out_specs=[spec] * 3,
+        out_shape=[shape, shape, shape],
+        interpret=interpret,
+    )(flat(q), flat(k), flat(v), flat(g))
+    unflat = lambda x: x.reshape(b, h, n, d)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+def use_pallas_attention_bwd(q_shape, dtype) -> bool:
+    """Backward holds three (N, N) fp32 buffers (logits/probs, dP, dS) plus
+    eight (N, D) tensors live at once — a larger working set than the
+    forward, so it gets its own VMEM gate."""
+    if os.environ.get("NLC_DISABLE_PALLAS_ATTN"):
+        return False
+    b, h, n, d = q_shape
+    itemsize = jnp.dtype(dtype).itemsize
+    working = 8 * n * d * itemsize + n * n * 4 * 3
+    return working <= _VMEM_BUDGET
+
+
 def _pallas_attention_vjp_fwd(q, k, v, scale):
     # nondiff args stay in their primal positions for the fwd rule; only the
     # bwd rule receives them first
@@ -83,11 +152,11 @@ def _pallas_attention_vjp_fwd(q, k, v, scale):
 
 
 def _pallas_attention_vjp_bwd(scale, res, g):
-    # The Pallas kernel has no Mosaic backward; training paths that reach
-    # attention (e.g. the sigma head) differentiate through the equivalent
-    # XLA einsum formulation instead. At the sigma-head shapes the recompute
-    # is negligible; the inference scan never takes this path.
     q, k, v = res
+    if use_pallas_attention_bwd(q.shape, q.dtype):
+        return _pallas_attention_bwd_impl(q, k, v, g, scale)
+    # Working set exceeds VMEM: differentiate through the equivalent XLA
+    # einsum formulation instead (recompute, fused by XLA).
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g)

@@ -361,8 +361,9 @@ def test_pred_fast_projection_loop():
 
 def test_fused_attention_is_differentiable():
     """Training paths differentiate through fused_attention; on TPU the
-    Pallas forward pairs with an XLA-einsum backward (custom_vjp). On CPU
-    this exercises the same public entry."""
+    Pallas forward pairs with the Pallas flash-style backward when the
+    working set fits VMEM (custom_vjp), else an XLA-einsum recompute. On
+    CPU this exercises the same public entry."""
     from nlc_tpu.ops.attention import fused_attention, _xla_attention
     rng = np.random.RandomState(0)
     q = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
@@ -379,6 +380,66 @@ def test_fused_attention_is_differentiable():
     g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 16, 8), (1, 4, 64, 32),
+                                   (3, 1, 100, 24)])
+def test_pallas_attention_backward_matches_xla(shape):
+    """The Pallas flash-style backward kernel (interpret mode on CPU) must
+    reproduce the XLA einsum formulation's q/k/v gradients, including at
+    non-tile-aligned N."""
+    from nlc_tpu.ops.attention import (_pallas_attention_bwd_impl,
+                                       _xla_attention)
+    rng = np.random.RandomState(1)
+    q, k, v, g = (jnp.asarray(rng.randn(*shape), jnp.float32)
+                  for _ in range(4))
+    scale = shape[-1] ** -0.5
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
+                     q, k, v)
+    want = vjp(g)
+    got = _pallas_attention_bwd_impl(q, k, v, g, scale, interpret=True)
+    for a, b, name in zip(got, want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-4, err_msg=name)
+
+
+def test_pallas_attention_backward_bf16():
+    """bf16 operands: the kernel keeps softmax/dS statistics in fp32 and
+    casts only matmul operands, so grads track an fp32 reference within
+    bf16 resolution."""
+    from nlc_tpu.ops.attention import (_pallas_attention_bwd_impl,
+                                       _xla_attention)
+    rng = np.random.RandomState(2)
+    shape = (2, 2, 32, 16)
+    qf, kf, vf, gf = (jnp.asarray(rng.randn(*shape), jnp.float32)
+                      for _ in range(4))
+    scale = shape[-1] ** -0.5
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
+                     qf, kf, vf)
+    want = vjp(gf)
+    got = _pallas_attention_bwd_impl(
+        qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+        vf.astype(jnp.bfloat16), gf.astype(jnp.bfloat16), scale,
+        interpret=True)
+    for a, b, name in zip(got, want, ("dq", "dk", "dv")):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b),
+                                   atol=0.12, rtol=0.05, err_msg=name)
+
+
+def test_pallas_attention_backward_vmem_gate():
+    from nlc_tpu.ops.attention import (use_pallas_attention_bwd,
+                                       use_pallas_attention)
+    from nlc_tpu.ops.attention import _VMEM_BUDGET
+    assert use_pallas_attention_bwd((8, 4, 256, 64), jnp.bfloat16)
+    # 4096 tokens: 3 fp32 NxN buffers blow the VMEM budget -> XLA recompute
+    assert not use_pallas_attention_bwd((1, 1, 4096, 64), jnp.bfloat16)
+    # the backward's working set (3 NxN fp32 + 8 NxD) is strictly larger
+    # than the forward's (2 NxN fp32 + 4 NxD), so its gate must be tighter
+    for n in (64, 256, 1024, 2048, 4096):
+        fwd_fits = 4 * n * 64 * 2 + n * n * 8 <= _VMEM_BUDGET
+        assert fwd_fits or not use_pallas_attention_bwd((1, 1, n, 64),
+                                                        jnp.bfloat16)
 
 
 def test_picard_parallel_sampler():
