@@ -241,6 +241,12 @@ def main():
     if which == "report":
         report()
         return
+    if os.path.exists(os.path.join(STUDY, "DEFER")):
+        # pause marker: lets an operator re-queue the study behind more
+        # urgent chip work without killing anything mid-compile (killing
+        # jobs wedges the tunneled device — docs/BENCHMARKS.md)
+        print("study deferred (remove DEFER marker to resume)")
+        return
     os.makedirs(STUDY, exist_ok=True)
     for name, fn in STAGES:
         if which not in ("auto", name):

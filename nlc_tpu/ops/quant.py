@@ -13,12 +13,27 @@ provides W8A8 convolution:
   * accumulation: int32 on the MXU, dequantized into the requested dtype
     with the fused (act_scale * per-channel weight_scale) epilogue.
 
-Two backends (select via backend=):
+Backends (select via backend=):
   'conv'    lax.conv_general_dilated on int8 operands -> int32.
   'taps'    KxK conv decomposed into K*K shifted 1x1 convs, each an int8
             (B*H*W, Cin) @ (Cin, Cout) matmul accumulated in int32 — for
             hardware/compiler combos where the int8 MXU rate is only
-            reachable through dot, not conv.
+            reachable through dot, not conv. Caveat: the K*K-term int32
+            accumulation chain round-trips the (N,OH,OW,Cout) buffer
+            through HBM per tap, which measured HBM-bound on v5e.
+  'im2col'  patches concatenated along Cin -> ONE int8
+            (B*OH*OW, K*K*Cin) @ (K*K*Cin, Cout) matmul. Materializes the
+            patch matrix in HBM (int8, so K*K bytes/elem) but accumulates
+            entirely inside the MXU — one output write instead of K*K
+            read-modify-writes.
+  'pallas'  fused VMEM kernel (quant_pallas.py) for stride-1 SAME 3x3.
+
+All backends run the same integer arithmetic and are bit-identical when the
+surrounding float quantize/dequantize steps compile identically (eager, or
+interpret mode — asserted in tests). Inside a larger jitted program XLA may
+rewrite those float steps differently per fusion context (e.g. x/scale as
+x * (1/scale)), flipping round() boundary cases, so whole-model outputs
+across backends agree to quantization noise rather than bitwise.
 
 The reference has no quantized path (pure fp16/fp32 torch,
 src/fp16_util.py); this is a TPU-native performance extension, opt-in via
@@ -76,6 +91,10 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         return _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding,
                           out_dtype)
 
+    if backend == "im2col":
+        return _im2col_conv(xq, wq, a_scale, w_scale, bias, strides, padding,
+                            out_dtype)
+
     if backend == "pallas":
         # fused VMEM kernel for the stride-1 SAME 3x3 hot shapes; everything
         # else (stride-2 down convs, 1x1 skips) takes the taps path
@@ -90,14 +109,7 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     raise ValueError(f"unknown int8 conv backend: {backend}")
 
 
-def _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding, out_dtype):
-    """KxK conv as K*K shifted 1x1 convs, each an int8 matmul on the MXU.
-
-    For tap (dy, dx): out[n, y, x, :] += x[n, y*s+dy-py, x*s+dx-px, :] @
-    w[dy, dx]. With SAME padding we pad once, then every tap is a strided
-    slice followed by a (B*H*W, Cin) @ (Cin, Cout) dot — MXU-shaped, int32
-    accumulation, no im2col materialization in HBM (XLA fuses the slices).
-    """
+def _conv_geometry(xq, wq, strides, padding):
     n, h, w, cin = xq.shape
     kh, kw, _, cout = wq.shape
     sy, sx = strides
@@ -116,6 +128,48 @@ def _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding, out_dtype):
         (pt, pb), (pl, pr) = padding
         oh = (h + pt + pb - kh) // sy + 1
         ow = (w + pl + pr - kw) // sx + 1
+    return oh, ow, (pt, pb), (pl, pr)
+
+
+def _im2col_conv(xq, wq, a_scale, w_scale, bias, strides, padding, out_dtype):
+    """KxK conv as ONE int8 matmul: the K*K shifted views are concatenated
+    along the channel axis into a (N*OH*OW, K*K*Cin) patch matrix, and the
+    kernel is reshaped to (K*K*Cin, Cout). The MXU accumulates all K*K*Cin
+    products in int32 internally, so — unlike 'taps' — the int32 output is
+    written to HBM exactly once; the cost is materializing the int8 patch
+    matrix (K*K bytes per input element)."""
+    n, h, w, cin = xq.shape
+    kh, kw, _, cout = wq.shape
+    sy, sx = strides
+    oh, ow, (pt, pb), (pl, pr) = _conv_geometry(xq, wq, strides, padding)
+    xp = jnp.pad(xq, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    cols = []
+    for dy in range(kh):
+        for dx in range(kw):
+            cols.append(jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (n, dy + (oh - 1) * sy + 1, dx + (ow - 1) * sx + 1, cin),
+                (1, sy, sx, 1)))
+    patches = jnp.concatenate(cols, axis=-1).reshape(n * oh * ow, kh * kw * cin)
+    acc = jax.lax.dot_general(
+        patches, wq.reshape(kh * kw * cin, cout),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32).reshape(n, oh, ow, cout)
+    return _dequant_epilogue(acc, a_scale, w_scale, bias, out_dtype)
+
+
+def _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding, out_dtype):
+    """KxK conv as K*K shifted 1x1 convs, each an int8 matmul on the MXU.
+
+    For tap (dy, dx): out[n, y, x, :] += x[n, y*s+dy-py, x*s+dx-px, :] @
+    w[dy, dx]. With SAME padding we pad once, then every tap is a strided
+    slice followed by a (B*H*W, Cin) @ (Cin, Cout) dot — MXU-shaped, int32
+    accumulation, no im2col materialization in HBM (XLA fuses the slices).
+    """
+    n, h, w, cin = xq.shape
+    kh, kw, _, cout = wq.shape
+    sy, sx = strides
+    oh, ow, (pt, pb), (pl, pr) = _conv_geometry(xq, wq, strides, padding)
     xp = jnp.pad(xq, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
 
     acc = jnp.zeros((n, oh, ow, cout), jnp.int32)

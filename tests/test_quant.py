@@ -41,8 +41,9 @@ def test_quantize_symmetric_round_trip():
 ])
 def test_backends_agree_exactly_and_match_fp32(strides, padding, hw, cin,
                                                cout, ksz):
-    """'taps' and 'conv' run the same integer arithmetic -> bit-identical;
-    both approximate the fp32 conv within the quantization error bound."""
+    """'taps', 'conv' and 'im2col' run the same integer arithmetic ->
+    bit-identical; all approximate the fp32 conv within the quantization
+    error bound."""
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, hw, hw, cin), jnp.float32)
     k = jnp.asarray(rng.randn(ksz, ksz, cin, cout) * 0.1, jnp.float32)
@@ -52,7 +53,10 @@ def test_backends_agree_exactly_and_match_fp32(strides, padding, hw, cin,
                        out_dtype=jnp.float32)
     y_conv = int8_conv(x, k, b, strides, padding, backend="conv",
                        out_dtype=jnp.float32)
+    y_col = int8_conv(x, k, b, strides, padding, backend="im2col",
+                      out_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(y_taps), np.asarray(y_conv))
+    np.testing.assert_array_equal(np.asarray(y_taps), np.asarray(y_col))
 
     ref = _ref_conv(x, k, b, strides, padding)
     assert y_taps.shape == ref.shape
