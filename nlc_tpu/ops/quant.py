@@ -97,9 +97,13 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
 
     if backend == "pallas":
         # fused VMEM kernel for the stride-1 SAME 3x3 hot shapes; everything
-        # else (stride-2 down convs, 1x1 skips) takes the taps path
+        # else (stride-2 down convs, 1x1 skips) takes the taps path, as do
+        # non-TPU backends (Mosaic kernels only lower on TPU — models
+        # configured with quant_backend="pallas" still run on CPU meshes)
         from .quant_pallas import int8_conv3x3_pallas, pallas_conv_applicable
-        if pallas_conv_applicable(xq.shape, wq.shape, strides, padding):
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and pallas_conv_applicable(xq.shape, wq.shape, strides,
+                                             padding):
             fused = (a_scale * w_scale).astype(jnp.float32)
             b = (bias if bias is not None
                  else jnp.zeros((wq.shape[-1],))).astype(jnp.float32)

@@ -67,6 +67,20 @@ def test_backends_agree_exactly_and_match_fp32(strides, padding, hw, cin,
     assert err / denom < 0.02, (err, denom)
 
 
+def test_pallas_backend_falls_back_off_tpu():
+    """quant_backend='pallas' models must still run on CPU meshes (tests,
+    virtual-device dryruns): off-TPU the fused kernel branch falls back to
+    taps, which shares its integer arithmetic."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 16, 16, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 32, 32) * 0.1, jnp.float32)
+    y_p = int8_conv(x, k, None, (1, 1), "SAME", backend="pallas",
+                    out_dtype=jnp.float32)
+    y_t = int8_conv(x, k, None, (1, 1), "SAME", backend="taps",
+                    out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_t))
+
+
 def test_quant_conv_module_param_layout():
     """QuantConv exposes the same {kernel, bias} params as nn.Conv so
     converted torch checkpoints drop in unchanged."""
