@@ -170,7 +170,8 @@ def stage_head():
             "--iter_per_epoch", "500", "--save_per_epoch", str(last),
             "--eval_per_epoch", "10000", "--batch_size", "128",
             "--ema_rate", "0.9995", "--lr", "3e-4"]
-    d = os.path.join(SIGMA_DIR, "0")
+    # the CLI nests runs under result_dir/<config>/<run-id>
+    d = os.path.join(SIGMA_DIR, "cifar10", "0")
     if done:
         argv += ["--load_folder", "0",
                  "--resume_model", os.path.join(d, f"sigma_ckpt_{last}"),
@@ -191,7 +192,7 @@ def _cell_dir(steps, style):
 
 def stage_sweep():
     snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
-    head = os.path.join(SIGMA_DIR, "0",
+    head = os.path.join(SIGMA_DIR, "cifar10", "0",
                         f"ema_sigma_ckpt_{HEAD_CHUNK_EPOCHS - 1}")
     with open(os.path.join(STUDY, "norm.json")) as f:
         norm_max = json.load(f)["p995"]
