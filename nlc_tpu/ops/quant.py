@@ -195,7 +195,14 @@ class QuantConv(nn.Module):
     """Drop-in replacement for nn.Conv (NHWC, HWIO params named kernel/bias —
     converted torch checkpoints load unchanged) running the W8A8 path.
 
-    quant=None falls through to nn.Conv so models can thread one flag."""
+    quant=None falls through to nn.Conv so models can thread one flag.
+
+    backend accepts an optional spatial threshold suffix, e.g. 'conv@64':
+    inputs with H below the threshold run the plain bf16 conv instead.
+    Motivation (docs/BENCHMARKS.md round-2 conv microbenchmarks): int8
+    wins ~1.3x at >=64^2 spatial but every backend is stuck at the same
+    ~51 TF/s memory/latency floor at <=32^2, where quantization is pure
+    overhead."""
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
@@ -215,5 +222,18 @@ class QuantConv(nn.Module):
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
+        backend, min_res = self.backend, 0
+        if backend and "@" in backend:
+            backend, min_res = backend.split("@")
+            min_res = int(min_res)
+        if min_res and x.shape[1] < min_res:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                tuple(self.strides), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            if bias is not None:
+                y = y + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
+            return y.astype(self.dtype)
         return int8_conv(x, kernel, bias, self.strides, pad,
-                         backend=self.backend, out_dtype=self.dtype)
+                         backend=backend, out_dtype=self.dtype)

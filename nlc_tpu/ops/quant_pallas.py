@@ -20,6 +20,7 @@ only precision machinery); this is TPU-native performance work.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,17 +29,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, slab, sem,
-                 *, th, w_out, cin, cout):
+                 *, th, w_out, cin, tc):
     n = pl.program_id(0)
     ht = pl.program_id(1)
 
     # one HBM->VMEM copy of the (TH+2, W+2, C) halo slab for this tile
+    # (re-copied per output-channel tile; DMA bytes are negligible next to
+    # the tile's ~2*9*cin*tc*th*w MXU flops)
     dma = pltpu.make_async_copy(
         x_hbm.at[n, pl.ds(ht * th, th + 2)], slab, sem)
     dma.start()
     dma.wait()
 
-    acc = jnp.zeros((th, w_out, cout), jnp.int32)
+    acc = jnp.zeros((th, w_out, tc), jnp.int32)
     for dy in range(3):
         for dx in range(3):
             window = slab[dy:dy + th, dx:dx + w_out, :]
@@ -52,6 +55,25 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, slab, sem,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _pick_cout_tile(th, w, c, cout, itemsize_out=2,
+                    budget=12 * 1024 * 1024):
+    """The TPU compiler's scoped-vmem stack limit is ~16 MB (measured:
+    the untiled 256² kernel was rejected at 18.13M). Tile the output
+    channels so the per-cell working set — int32 accumulator, fp32 dequant,
+    double-buffered output block, weights, halo slab — stays safely under."""
+    wp = w + 2 + (-(w + 2) % 8)
+    slab = (th + 2) * wp * c
+    for tc in (cout, 512, 256, 128, 64, 32):
+        if tc > cout or cout % tc:
+            continue
+        work = (slab + th * w * tc * 4 * 2        # acc int32 + fp32 dequant
+                + th * w * tc * itemsize_out * 2  # double-buffered out block
+                + 9 * c * tc * 2)                 # weight block (pipelined)
+        if work <= budget:
+            return tc
+    return 32
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
                         interpret=False):
@@ -61,24 +83,33 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
     n, h, w, c = xq.shape
     cout = wq.shape[-1]
     th = h if h <= 16 else max(t for t in (16, 32) if h % t == 0)
+    th_env = int(os.environ.get("NLC_PALLAS_TH", "0"))  # tuning override
+    if th_env and h > 16 and h % th_env == 0:
+        th = th_env
     assert h % th == 0, (h, th)
 
-    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # Mosaic requires HBM->VMEM copy shapes aligned to the (8, 128) tiling
+    # on the two minor dims: pad W+2 up to a multiple of 8 (the extra right
+    # columns are zeros and the kernel's windows never read past dx + w).
+    wp = w + 2 + (-(w + 2) % 8)
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
+    tc = _pick_cout_tile(th, w, c, cout, jnp.dtype(out_dtype).itemsize)
 
-    grid = (n, h // th)
+    grid = (n, h // th, cout // tc)
     return pl.pallas_call(
-        functools.partial(_conv_kernel, th=th, w_out=w, cin=c, cout=cout),
+        functools.partial(_conv_kernel, th=th, w_out=w, cin=c, tc=tc),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays in HBM
-            pl.BlockSpec((3, 3, c, cout), lambda i, j: (0, 0, 0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i, j: (0, 0)),
+            pl.BlockSpec((3, 3, c, tc), lambda i, j, k: (0, 0, 0, k)),
+            pl.BlockSpec((1, tc), lambda i, j, k: (0, k)),
+            pl.BlockSpec((1, tc), lambda i, j, k: (0, k)),
         ],
-        out_specs=pl.BlockSpec((1, th, w, cout), lambda i, j: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, th, w, tc),
+                               lambda i, j, k: (i, j, 0, k)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w + 2, c), jnp.int8),
+            pltpu.VMEM((th + 2, wp, c), jnp.int8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

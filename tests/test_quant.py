@@ -81,6 +81,29 @@ def test_pallas_backend_falls_back_off_tpu():
     np.testing.assert_array_equal(np.asarray(y_p), np.asarray(y_t))
 
 
+def test_quant_backend_spatial_threshold():
+    """'conv@32'-style backends quantize only inputs with H >= threshold;
+    below it the layer runs the plain conv on the same params."""
+    import flax.linen as nn
+    from nlc_tpu.ops.quant import QuantConv
+    rng = np.random.RandomState(5)
+    mq = QuantConv(24, (3, 3), backend="taps@32", dtype=jnp.float32)
+    mf = nn.Conv(24, (3, 3), padding="SAME", dtype=jnp.float32,
+                 param_dtype=jnp.float32)
+    x_small = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    x_big = jnp.asarray(rng.randn(1, 32, 32, 8), jnp.float32)
+    params = mq.init(jax.random.PRNGKey(0), x_small)
+    # below threshold: exactly the unquantized conv
+    np.testing.assert_allclose(
+        np.asarray(mq.apply(params, x_small)),
+        np.asarray(mf.apply(params, x_small)), atol=2e-5, rtol=1e-5)
+    # at/above threshold: quantized (differs from exact, but tracks it)
+    yq = np.asarray(mq.apply(params, x_big))
+    yf = np.asarray(mf.apply(params, x_big))
+    assert not np.allclose(yq, yf, atol=1e-6)
+    assert np.abs(yq - yf).mean() / np.abs(yf).mean() < 0.02
+
+
 def test_quant_conv_module_param_layout():
     """QuantConv exposes the same {kernel, bias} params as nn.Conv so
     converted torch checkpoints drop in unchanged."""
