@@ -55,23 +55,26 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, slab, sem,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _pick_cout_tile(th, w, c, cout, itemsize_out=2,
-                    budget=12 * 1024 * 1024):
-    """The TPU compiler's scoped-vmem stack limit is ~16 MB (measured:
-    the untiled 256² kernel was rejected at 18.13M). Tile the output
-    channels so the per-cell working set — int32 accumulator, fp32 dequant,
-    double-buffered output block, weights, halo slab — stays safely under."""
+def _pick_tiles(h, w, c, cout, itemsize_out=2, budget=12 * 1024 * 1024):
+    """The TPU compiler's scoped-vmem stack limit is ~16 MB (measured: the
+    untiled 256² kernel was rejected at 18.13M). Jointly pick the row tile
+    and an output-channel tile so the per-cell working set — int32
+    accumulator, fp32 dequant, double-buffered output block, weights, halo
+    slab — stays safely under. Channel tiles must be lane-legal: a
+    multiple of 128 or the full cout (Pallas block-shape rule)."""
     wp = w + 2 + (-(w + 2) % 8)
-    slab = (th + 2) * wp * c
-    for tc in (cout, 512, 256, 128, 64, 32):
-        if tc > cout or cout % tc:
-            continue
-        work = (slab + th * w * tc * 4 * 2        # acc int32 + fp32 dequant
-                + th * w * tc * itemsize_out * 2  # double-buffered out block
-                + 9 * c * tc * 2)                 # weight block (pipelined)
-        if work <= budget:
-            return tc
-    return 32
+    th_cands = [h] if h <= 16 else [t for t in (32, 16, 8) if h % t == 0]
+    tc_cands = [t for t in (cout, 512, 256, 128) if t <= cout
+                and cout % t == 0 and (t == cout or t % 128 == 0)]
+    for th in th_cands:
+        slab = (th + 2) * wp * c
+        for tc in tc_cands:
+            work = (slab + th * w * tc * 4 * 2    # acc int32 + fp32 dequant
+                    + th * w * tc * itemsize_out * 2  # double-buffered out
+                    + 9 * c * tc * 2)             # weight block (pipelined)
+            if work <= budget:
+                return th, tc
+    return th_cands[-1], tc_cands[-1]
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -82,7 +85,7 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
     none). Returns (N, H, W, Cout) out_dtype. Stride 1, SAME."""
     n, h, w, c = xq.shape
     cout = wq.shape[-1]
-    th = h if h <= 16 else max(t for t in (16, 32) if h % t == 0)
+    th, tc = _pick_tiles(h, w, c, cout, jnp.dtype(out_dtype).itemsize)
     th_env = int(os.environ.get("NLC_PALLAS_TH", "0"))  # tuning override
     if th_env and h > 16 and h % th_env == 0:
         th = th_env
@@ -93,7 +96,6 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
     # columns are zeros and the kernel's windows never read past dx + w).
     wp = w + 2 + (-(w + 2) % 8)
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
-    tc = _pick_cout_tile(th, w, c, cout, jnp.dtype(out_dtype).itemsize)
 
     grid = (n, h // th, cout // tc)
     return pl.pallas_call(
