@@ -3,15 +3,21 @@
 The flagship 256^2 ADM step is ~100% conv FLOPs (all routed through
 ops/quant.QuantConv when quantized), so whole-loop int8 throughput is
 decided per conv shape. This times every backend at the step's hot shapes
-(the QuantConv trace of the flagship config), each fenced by a host fetch
-(block_until_ready is unreliable over the axon tunnel — CLAUDE.md).
+(the QuantConv trace of the flagship config).
+
+Methodology (both are axon-tunnel specific, CLAUDE.md):
+  * one jitted program runs a lax.scan of REPS conv applications over a
+    stack of distinct weights — a single conv per dispatch measures only
+    the ~30 ms tunnel round-trip (observed: a 128^2 conv "takes" the same
+    wall time as a 4x-bigger 256^2 one);
+  * every timing is fenced by a host fetch (block_until_ready is
+    unreliable over the tunnel).
 
 Run on the chip: python benchmarks/convbench.py [--quick]
 Appends one JSON line per (shape, backend) to logs/r2/convbench.jsonl.
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
@@ -38,50 +44,66 @@ SHAPES = [
 BACKENDS = ["bf16", "conv", "taps", "im2col", "pallas"]
 
 
-def bench_one(res, cin, cout, ksz, backend, batch=8, iters=3):
+def bench_one(res, cin, cout, ksz, backend, batch=8):
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
     from nlc_tpu.ops.quant import int8_conv
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, res, res, cin), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(ksz, ksz, cin, cout) * 0.05, jnp.float32)
+    ws = jnp.asarray(rng.randn(8, ksz, ksz, cin, cout) * 0.05, jnp.float32)
     b = jnp.zeros((cout,), jnp.float32)
 
+    flops1 = 2 * ksz * ksz * cin * cout * res * res * batch
+    # pick scan length so the program runs >= ~300 ms at an assumed 100 TF/s
+    # (amortizes the tunnel dispatch); weights cycle over 8 distinct copies
+    reps = max(8, min(64, int(0.3 / max(flops1 / 100e12, 1e-5))))
+
     if backend == "bf16":
-        @jax.jit
-        def f(x, k, b):
-            y = jax.lax.conv_general_dilated(
-                x, k.astype(jnp.bfloat16), (1, 1), "SAME",
+        def one(xc, w):
+            y = lax.conv_general_dilated(
+                xc, w.astype(jnp.bfloat16), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
             return (y + b.astype(jnp.float32)).astype(jnp.bfloat16)
     else:
-        @jax.jit
-        def f(x, k, b):
-            return int8_conv(x, k, b, (1, 1), "SAME", backend=backend,
+        def one(xc, w):
+            return int8_conv(xc, w, b, (1, 1), "SAME", backend=backend,
                              out_dtype=jnp.bfloat16)
 
+    @jax.jit
+    def prog(x, ws):
+        def body(acc, i):
+            y = one(x, ws[i % 8])
+            # scalar carry keeps iterations ordered without extra HBM traffic
+            return acc + y.astype(jnp.float32).mean(), None
+        acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return acc
+
     t0 = time.time()
-    y = f(x, k, b)
-    np.asarray(y)
+    np.asarray(prog(x, ws))
     compile_s = time.time() - t0
     best = 1e9
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.time()
-        np.asarray(f(x, k, b).ravel()[:8])
+        np.asarray(prog(x, ws))
         best = min(best, time.time() - t0)
-    flops = 2 * ksz * ksz * cin * cout * res * res * batch
+    per = best / reps
     return {"res": res, "cin": cin, "cout": cout, "ksz": ksz,
-            "backend": backend, "ms": round(best * 1e3, 3),
-            "tf_s": round(flops / best / 1e12, 1),
+            "backend": backend, "reps": reps, "ms": round(per * 1e3, 3),
+            "tf_s": round(flops1 / per / 1e12, 1),
             "compile_s": round(compile_s, 1)}
 
 
 def main():
     quick = "--quick" in sys.argv
     shapes = SHAPES[:3] if quick else SHAPES
+    only = os.environ.get("NLC_CONVBENCH_BACKENDS")
+    if only:
+        global BACKENDS
+        BACKENDS = [b for b in BACKENDS if b in only.split(",")]
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     for shape in shapes:
         for backend in BACKENDS:
