@@ -198,11 +198,11 @@ class QuantConv(nn.Module):
     quant=None falls through to nn.Conv so models can thread one flag.
 
     backend accepts an optional spatial threshold suffix, e.g. 'conv@64':
-    inputs with H below the threshold run the plain bf16 conv instead.
-    Motivation (docs/BENCHMARKS.md round-2 conv microbenchmarks): int8
-    wins ~1.3x at >=64^2 spatial but every backend is stuck at the same
-    ~51 TF/s memory/latency floor at <=32^2, where quantization is pure
-    overhead."""
+    inputs with H below the threshold (and all 1x1 convs) run the plain
+    bf16 conv instead. backend='auto' applies the measured per-shape
+    policy: XLA int8 conv for >=64^2 stride-1 3x3, the fused Pallas kernel
+    for <=32^2 stride-1 3x3, bf16 for 1x1/strided (memory-bound).
+    Motivation in docs/BENCHMARKS.md round-2 conv microbenchmarks."""
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
@@ -226,7 +226,22 @@ class QuantConv(nn.Module):
         if backend and "@" in backend:
             backend, min_res = backend.split("@")
             min_res = int(min_res)
-        if min_res and x.shape[1] < min_res:
+        plain = False
+        if backend == "auto":
+            # measured per-shape policy (docs/BENCHMARKS.md round-2 conv
+            # microbenchmarks): XLA's int8 conv wins at >=64^2 3x3 (201 vs
+            # 155 TF/s bf16 at the top shape); the fused Pallas kernel wins
+            # at <=32^2 3x3 (65/58 vs 57/51); 1x1 and strided convs are
+            # memory-bound and stay bf16.
+            if (kh, kw) != (3, 3) or tuple(self.strides) != (1, 1):
+                plain = True
+            else:
+                backend = "conv" if x.shape[1] >= 64 else "pallas"
+        # under a threshold'd backend 1x1 convs always stay bf16: they are
+        # memory-bound at every measured shape, so the activation-quantize
+        # pass is pure overhead (256^2 512->256: int8 61 vs bf16 100 TF/s)
+        if plain or (min_res and (x.shape[1] < min_res
+                                  or (kh, kw) == (1, 1))):
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 tuple(self.strides), pad,

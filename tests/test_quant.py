@@ -104,6 +104,32 @@ def test_quant_backend_spatial_threshold():
     assert np.abs(yq - yf).mean() / np.abs(yf).mean() < 0.02
 
 
+def test_quant_backend_auto_policy():
+    """'auto' quantizes stride-1 3x3 per the measured policy and leaves
+    1x1/strided convs at exact bf16 math."""
+    import flax.linen as nn
+    from nlc_tpu.ops.quant import QuantConv
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(1, 32, 32, 8), jnp.float32)
+    # 1x1 under auto == plain conv exactly
+    m1 = QuantConv(16, (1, 1), backend="auto", dtype=jnp.float32)
+    mf = nn.Conv(16, (1, 1), padding="SAME", dtype=jnp.float32,
+                 param_dtype=jnp.float32)
+    p1 = m1.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(m1.apply(p1, x)),
+                               np.asarray(mf.apply(p1, x)),
+                               atol=2e-5, rtol=1e-5)
+    # 3x3 under auto == quantized (tracks but differs from exact)
+    m3 = QuantConv(16, (3, 3), backend="auto", dtype=jnp.float32)
+    mf3 = nn.Conv(16, (3, 3), padding="SAME", dtype=jnp.float32,
+                  param_dtype=jnp.float32)
+    p3 = m3.init(jax.random.PRNGKey(0), x)
+    yq = np.asarray(m3.apply(p3, x))
+    yf = np.asarray(mf3.apply(p3, x))
+    assert not np.allclose(yq, yf, atol=1e-6)
+    assert np.abs(yq - yf).mean() / np.abs(yf).mean() < 0.02
+
+
 def test_quant_conv_module_param_layout():
     """QuantConv exposes the same {kernel, bias} params as nn.Conv so
     converted torch checkpoints drop in unchanged."""
