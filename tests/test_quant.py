@@ -227,6 +227,67 @@ def test_int8_conv_under_jit_and_scan():
     np.testing.assert_allclose(np.asarray(out), np.asarray(h), atol=1e-6)
 
 
+def test_int8_adm_pred_50step_drift_conv_backend():
+    """The bench default config class: ADM UNet with learned variance, the
+    NLC 'pred' style, and the 'conv' int8 backend — 50-step trajectory
+    drift vs full precision stays bounded."""
+    from nlc_tpu.models.adm_unet import ADMUNet, ADMUNetConfig, ADMSigmaHead
+    from nlc_tpu.sched import get_sampler
+    from nlc_tpu.engine import DenoiseConfig, ModelBundle, denoise_loop
+    from nlc_tpu.engine.loops import set_norm_maxmin
+
+    base = dict(image_size=64, model_channels=32, out_channels=6,
+                num_res_blocks=1, attention_resolutions=(16,),
+                channel_mult=(1, 2), num_heads=2,
+                use_scale_shift_norm=True, resblock_updown=True,
+                feat_layer=1)
+    m_fp = ADMUNet(ADMUNetConfig(**base))
+    m_q = ADMUNet(ADMUNetConfig(**base, quant_backend="conv"))
+
+    x0 = jnp.zeros((1, 64, 64, 3))
+    t0 = jnp.ones((1,))
+    params = m_fp.init(jax.random.PRNGKey(0), x0, t0)
+    params = jax.tree_util.tree_map(lambda x: x, params)
+    params["params"]["out_conv"] = jax.tree_util.tree_map(
+        lambda x: x * 0.1, params["params"]["out_conv"])
+
+    cfg0 = ADMUNetConfig(**base)
+    d, _, ch = cfg0.feat_shape
+    head = ADMSigmaHead(dim=d, channels=ch, n_blocks=1, dropout=0.0)
+    svars = head.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1,) + cfg0.feat_shape))
+
+    def bundle_for(model):
+        return ModelBundle(
+            forward=lambda p, z, t: model.apply(p, z, t),
+            encode=lambda p, z, t: model.apply(p, z, t,
+                                               method=ADMUNet.encode),
+            sigma=lambda v, f: head.apply(v, f),
+            learn_epsvar=True)
+
+    nmin, nmax = set_norm_maxmin((64, 64, 3), -2.0, 60.0)
+    cfg = DenoiseConfig(style="pred", norm_eps=True, refine_prior_sigma=True,
+                        clip_fn="clamp", sigma_pred_threshold=960,
+                        norm_max=nmax, norm_min=nmin, return_log=True)
+    s = get_sampler("ddim_simple_orig", 1000, 50, sigma_style="Linear",
+                    sampler_var="learned", eta=0.85, start_sigma=2.0)
+    xT = jnp.asarray(
+        np.random.RandomState(9).randn(1, 64, 64, 3).astype(np.float32) * 3)
+    seeds = jnp.arange(1)
+
+    out_fp, logs_fp = denoise_loop(s, bundle_for(m_fp), cfg, params, svars,
+                                   xT, seeds)
+    out_q, logs_q = denoise_loop(s, bundle_for(m_q), cfg, params, svars,
+                                 xT, seeds)
+    x0_fp = np.asarray(logs_fp["x0_prec"], np.float32).reshape(50, -1)
+    x0_q = np.asarray(logs_q["x0_prec"], np.float32).reshape(50, -1)
+    drift = float(np.abs(x0_fp - x0_q).max())
+    final_err = float(np.abs(np.asarray(out_fp, np.float32)
+                             - np.asarray(out_q, np.float32)).max())
+    assert drift < 0.25, drift
+    assert final_err < 0.25, final_err
+
+
 def test_int8_50step_loop_quality_drift():
     """Quality validation for the W8A8 sampling path: the full 50-step
     NLC-DDIM denoise loop (engine/loops.py) with int8 interior convs must
