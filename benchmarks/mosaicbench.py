@@ -123,21 +123,27 @@ def bench_pallas_convshape(dtype_name, reps=32):
             out_shape=jax.ShapeDtypeStruct((8, th, w, cout), acc_dtype),
         )(xb, wb)
 
+    # weights stacked 8-deep and indexed by the SCAN counter — with both
+    # operands loop-invariant XLA hoists the conv out of the scan and the
+    # harness times dispatch_floor/reps (the trap documented in
+    # docs/BENCHMARKS.md "Methodology")
+    wstack = jnp.stack([jnp.roll(wq, s, axis=0) for s in range(8)])
+
     @jax.jit
-    def prog(x, wq):
+    def prog(x, wstack):
         def body(acc, i):
-            y = conv(x, wq)
+            y = conv(x, wstack[i % 8])
             return acc + y.astype(jnp.float32).mean(), None
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
         return acc
 
     t0 = time.time()
-    np.asarray(prog(x, wq))
+    np.asarray(prog(x, wstack))
     compile_s = time.time() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        np.asarray(prog(x, wq))
+        np.asarray(prog(x, wstack))
         best = min(best, time.time() - t0)
     per = best / reps
     flops = 2 * 9 * cin * cout * th * w * 8

@@ -167,8 +167,13 @@ def stage_head():
     argv = ["--config", "cifar10", "--load_eps", snap, "--data_dir", DATA,
             "--fid_target", FID_NPZ, "--result_dir", SIGMA_DIR,
             "--epoch", str(HEAD_CHUNK_EPOCHS),
-            "--iter_per_epoch", "500", "--save_per_epoch", str(last),
-            "--eval_per_epoch", "10000", "--batch_size", "128",
+            # save/eval period 0 = final-save-only / eval-off extension
+            # (train/loop.py): a periodic value would ALSO fire at ep 0
+            # (reference semantics), clobbering the previous chunk's
+            # optim_state one epoch into the chunk and running 2 unwanted
+            # on-chip FID evals per chunk
+            "--iter_per_epoch", "500", "--save_per_epoch", "0",
+            "--eval_per_epoch", "0", "--batch_size", "128",
             "--ema_rate", "0.9995", "--lr", "3e-4"]
     # the CLI nests runs under result_dir/<config>/<run-id>
     d = os.path.join(SIGMA_DIR, "cifar10", "0")
@@ -192,6 +197,10 @@ def _cell_dir(steps, style):
 
 def stage_sweep():
     snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    assert snap, "train stage incomplete"
+    assert _head_epochs_done() >= HEAD_EPOCHS_TOTAL, \
+        "head stage incomplete — sweeping with an undertrained head would " \
+        "write results.json markers the resume logic never redoes"
     head = os.path.join(SIGMA_DIR, "cifar10", "0",
                         f"ema_sigma_ckpt_{HEAD_CHUNK_EPOCHS - 1}")
     with open(os.path.join(STUDY, "norm.json")) as f:

@@ -55,6 +55,14 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, slab, sem,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _padded_width(w):
+    """Mosaic HBM->VMEM copy shapes must align to the (8, 128) tiling on
+    the two minor dims: the W+2 halo width padded up to a multiple of 8.
+    Single source of truth for both the VMEM budget and the kernel's
+    scratch/pad shapes."""
+    return w + 2 + (-(w + 2) % 8)
+
+
 def _pick_tiles(h, w, c, cout, itemsize_out=2, budget=12 * 1024 * 1024):
     """The TPU compiler's scoped-vmem stack limit is ~16 MB (measured: the
     untiled 256² kernel was rejected at 18.13M). Jointly pick the row tile
@@ -62,8 +70,12 @@ def _pick_tiles(h, w, c, cout, itemsize_out=2, budget=12 * 1024 * 1024):
     accumulator, fp32 dequant, double-buffered output block, weights, halo
     slab — stays safely under. Channel tiles must be lane-legal: a
     multiple of 128 or the full cout (Pallas block-shape rule)."""
-    wp = w + 2 + (-(w + 2) % 8)
+    wp = _padded_width(w)
     th_cands = [h] if h <= 16 else [t for t in (32, 16, 8) if h % t == 0]
+    if not th_cands:
+        raise ValueError(
+            f"int8_conv3x3_pallas needs H <= 16 or H divisible by 8, got "
+            f"H={h} (gate such shapes out with pallas_conv_applicable)")
     tc_cands = [t for t in (cout, 512, 256, 128) if t <= cout
                 and cout % t == 0 and (t == cout or t % 128 == 0)]
     for th in th_cands:
@@ -91,10 +103,9 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
         th = th_env
     assert h % th == 0, (h, th)
 
-    # Mosaic requires HBM->VMEM copy shapes aligned to the (8, 128) tiling
-    # on the two minor dims: pad W+2 up to a multiple of 8 (the extra right
-    # columns are zeros and the kernel's windows never read past dx + w).
-    wp = w + 2 + (-(w + 2) % 8)
+    # extra right columns beyond the +1 halo are zeros; the kernel's
+    # windows never read past dx + w
+    wp = _padded_width(w)
     xp = jnp.pad(xq, ((0, 0), (1, 1), (1, wp - w - 1), (0, 0)))
 
     grid = (n, h // th, cout // tc)

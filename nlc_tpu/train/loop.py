@@ -65,15 +65,22 @@ def run_sigma_training(state: SigmaTrainState, train_step: Callable,
         logger.logkv("sec_per_epoch", time.time() - t0)
         logger.dumpkvs()
 
-        if eval_fn is not None and (ep % cfg.eval_per_epoch == 0
-                                    or ep == cfg.epochs - 1):
+        # periodicity matches the reference exactly (experiments.py:703,721:
+        # `ep % period == 0 or ep == epochs-1`, so period fires at ep 0 too);
+        # period <= 0 is an extension the reference never passes: eval fully
+        # off / save final-epoch-only (needed by resumable chunked drivers,
+        # where an ep-0 periodic save would clobber the previous chunk's
+        # fixed-name optim_state mid-chunk)
+        if eval_fn is not None and cfg.eval_per_epoch > 0 and (
+                ep % cfg.eval_per_epoch == 0 or ep == cfg.epochs - 1):
             ev = eval_fn(state, ep)
             logs["epoch"].append(ep)
             logs["loss"].append(float(np.mean(ep_losses)) if ep_losses else 0.0)
             logs["fid"].append(ev.get("fid", 0.0))
             logs["fid_sigma_ped"].append(ev.get("fid_pred", 0.0))
             logger.log(f"--- epoch {ep}: {ev}")
-        if ep % cfg.save_per_epoch == 0 or ep == cfg.epochs - 1:
+        if (cfg.save_per_epoch > 0 and ep % cfg.save_per_epoch == 0) \
+                or ep == cfg.epochs - 1:
             save_sigma_checkpoint(cfg.save_dir, ep, state)
             logger.log(f"saved checkpoint at epoch {ep}")
 
