@@ -114,6 +114,25 @@ def test_edm_sample_cli_restart(store, tmp_path):
     assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
 
 
+def test_train_cli_period_zero_saves_final_only(store, tmp_path):
+    """save/eval period <= 0 (extension for resumable chunked drivers):
+    only the final-epoch checkpoint is written and no eval fires; the
+    reference's periodic semantics (incl. the ep-0 fire) are untouched for
+    positive periods (covered by test_train_cli_and_resume)."""
+    from nlc_tpu.cli.run_image_experiment import get_args, main
+    args, config = get_args([
+        "--config", "celeba", "--config_path", "tiny", "--store_dir", store,
+        "--epoch", "3", "--iter_per_epoch", "2", "--eval_per_epoch", "0",
+        "--save_per_epoch", "0", "--batch_size", "2", "--bf16", "0",
+        "--sigma_block", "2", "--num_timesteps", "3",
+        "--result_dir", str(tmp_path / "p0")])
+    main(args, config)
+    run_dir = os.path.join(str(tmp_path / "p0"), "celeba", "0")
+    cks = sorted(d for d in os.listdir(run_dir) if d.startswith("sigma_ckpt"))
+    assert cks == ["sigma_ckpt_2"], cks
+    assert not os.path.exists(os.path.join(run_dir, "train_logs.tsv"))
+
+
 def test_train_cli_and_resume(store, tmp_path):
     from nlc_tpu.cli.run_image_experiment import get_args, main
     args, config = get_args([
