@@ -87,12 +87,18 @@ def _resize_short_center_crop(img: Image.Image, size: int) -> np.ndarray:
     transform order (datasets/__init__.py:126-131), which differs from
     crop-then-resize by resampling footprint."""
     w, h = img.size
+    # exact torchvision rounding: the long resized side TRUNCATES
+    # (functional.resize: int(size * long / short)) while the crop offset
+    # uses int(round(margin / 2)) (functional.center_crop) — mixing these
+    # up shifts the bilinear grid / crop window by a pixel on non-exact
+    # aspect ratios
     if w <= h:
-        nw, nh = size, max(int(round(h * size / w)), size)
+        nw, nh = size, max(int(h * size / w), size)
     else:
-        nw, nh = max(int(round(w * size / h)), size), size
+        nw, nh = max(int(w * size / h), size), size
     img = img.resize((nw, nh), Image.BILINEAR)
-    left, top = (nw - size) // 2, (nh - size) // 2
+    left = int(round((nw - size) / 2.0))
+    top = int(round((nh - size) / 2.0))
     img = img.crop((left, top, left + size, top + size))
     return np.asarray(img.convert("RGB"), np.float32) / 255.0
 

@@ -22,21 +22,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import GroupNorm, adm_timestep_embedding, attention, swish
-from ..ops.quant import QuantConv
+from ..ops.quant import make_conv
 
 
-def _make_conv(quant, features, kernel_size, *, name, dtype,
-               strides=(1, 1), padding="SAME", kernel_init=None):
-    """nn.Conv or its W8A8 int8 drop-in (same {kernel, bias} param layout, so
-    converted torch checkpoints load on either path). `quant` is the int8
-    backend name from ADMUNetConfig.quant_backend, or None for bf16/fp32."""
-    ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) else tuple(kernel_size)
-    kw = dict(strides=strides, padding=padding, dtype=dtype, name=name)
-    if kernel_init is not None:
-        kw["kernel_init"] = kernel_init
-    if quant:
-        return QuantConv(features, ks, backend=quant, **kw)
-    return nn.Conv(features, ks, **kw)
+_make_conv = make_conv  # single dispatch point lives in ops/quant.py
 
 
 class ADMResBlock(nn.Module):

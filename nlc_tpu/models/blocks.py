@@ -10,16 +10,10 @@ from .layers import GroupNorm, swish
 
 
 def _conv(quant, features, kernel_size, *, name, dtype, padding="SAME"):
-    """nn.Conv or the W8A8 int8 drop-in (identical param layout)."""
-    if quant:
-        from ..ops.quant import QuantConv
-        ks = (kernel_size, kernel_size) if isinstance(kernel_size, int) \
-            else tuple(kernel_size)
-        return QuantConv(features, ks, padding=padding, dtype=dtype,
-                         backend=quant, name=name)
-    return nn.Conv(features, kernel_size if not isinstance(kernel_size, int)
-                   else (kernel_size, kernel_size), padding=padding,
-                   dtype=dtype, name=name)
+    """nn.Conv or the W8A8 int8 drop-in — see ops.quant.make_conv."""
+    from ..ops.quant import make_conv
+    return make_conv(quant, features, kernel_size, name=name, dtype=dtype,
+                     padding=padding)
 
 
 class ResnetBlock(nn.Module):

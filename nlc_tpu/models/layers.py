@@ -109,12 +109,9 @@ class Upsample(nn.Module):
     def __call__(self, x):
         x = nearest_upsample_2x(x)
         if self.with_conv:
-            if self.quant:
-                from ..ops.quant import QuantConv
-                return QuantConv(x.shape[-1], (3, 3), padding="SAME",
-                                 dtype=self.dtype, backend=self.quant,
-                                 name="conv")(x)
-            x = nn.Conv(x.shape[-1], (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+            from ..ops.quant import make_conv
+            x = make_conv(self.quant, x.shape[-1], 3, padding="SAME",
+                          dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -129,13 +126,9 @@ class Downsample(nn.Module):
     def __call__(self, x):
         if self.with_conv:
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            if self.quant:
-                from ..ops.quant import QuantConv
-                return QuantConv(x.shape[-1], (3, 3), strides=(2, 2),
-                                 padding="VALID", dtype=self.dtype,
-                                 backend=self.quant, name="conv")(x)
-            x = nn.Conv(x.shape[-1], (3, 3), strides=(2, 2), padding="VALID",
-                        dtype=self.dtype, name="conv")(x)
+            from ..ops.quant import make_conv
+            x = make_conv(self.quant, x.shape[-1], 3, strides=(2, 2),
+                          padding="VALID", dtype=self.dtype, name="conv")(x)
         else:
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         return x

@@ -191,6 +191,23 @@ def _taps_conv(xq, wq, a_scale, w_scale, bias, strides, padding, out_dtype):
     return _dequant_epilogue(acc, a_scale, w_scale, bias, out_dtype)
 
 
+def make_conv(quant, features, kernel_size, *, name, dtype,
+              strides=(1, 1), padding="SAME", kernel_init=None):
+    """nn.Conv or the W8A8 QuantConv drop-in (identical {kernel, bias}
+    param layout, so converted torch checkpoints load on either path).
+    `quant` is the int8 backend name (module docstring) or None for
+    bf16/fp32. The single dispatch point for every model family — keep
+    backend-routing changes here, not at call sites."""
+    ks = ((kernel_size, kernel_size) if isinstance(kernel_size, int)
+          else tuple(kernel_size))
+    kw = dict(strides=tuple(strides), padding=padding, dtype=dtype, name=name)
+    if kernel_init is not None:
+        kw["kernel_init"] = kernel_init
+    if quant:
+        return QuantConv(features, ks, backend=quant, **kw)
+    return nn.Conv(features, ks, **kw)
+
+
 class QuantConv(nn.Module):
     """Drop-in replacement for nn.Conv (NHWC, HWIO params named kernel/bias —
     converted torch checkpoints load unchanged) running the W8A8 path.

@@ -43,7 +43,13 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
             process_id=process_id,
         )
     except RuntimeError as e:  # already wired up by the runtime / earlier call
-        if "already" not in str(e).lower():
+        # jax 0.9's double-init messages: "distributed.initialize should
+        # only be called once." and "jax.distributed.initialize() must be
+        # called before any JAX computations are executed." — neither
+        # contains "already" (older releases' wording did)
+        msg = str(e).lower()
+        if not any(s in msg for s in ("already", "only be called once",
+                                      "before any jax")):
             raise
 
 

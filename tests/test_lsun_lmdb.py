@@ -76,6 +76,27 @@ def test_lsun_resize_short_side_then_center_crop(tmp_path):
     np.testing.assert_allclose(got, expect, atol=1e-6)
 
 
+def test_lsun_resize_rounding_matches_torchvision():
+    """Non-exact aspect ratios: torchvision TRUNCATES the long resized side
+    (functional.resize: int(size*long/short)) and rounds the crop offset
+    (functional.center_crop: int(round(margin/2))). A 640x427 image at 256
+    must resize to 383x256 (not round(383.66)=384) with crop left
+    int(round(63.5)) = 64. torchvision is not installed here, so the
+    constants are asserted directly against its documented arithmetic."""
+    from nlc_tpu.data.eval_datasets import _resize_short_center_crop
+    img = Image.fromarray(
+        (np.arange(427 * 640 * 3).reshape(427, 640, 3) % 255).astype(np.uint8))
+    out = _resize_short_center_crop(img, 256)
+    assert out.shape == (256, 256, 3)
+    nw = max(int(640 * 256 / 427), 256)
+    assert nw == 383
+    left = int(round((nw - 256) / 2.0))
+    assert left == 64
+    ref = img.resize((383, 256), Image.BILINEAR).crop((64, 0, 64 + 256, 256))
+    np.testing.assert_allclose(
+        out, np.asarray(ref.convert("RGB"), np.float32) / 255.0, atol=1e-6)
+
+
 def test_get_eval_dataset_resolves_lsun_lmdb(tmp_path):
     from nlc_tpu.data.eval_datasets import (get_eval_dataset, LsunLmdbDataset,
                                             ImageFolderDataset)
