@@ -55,6 +55,32 @@ def test_encode_matches_reference(ref_tokenizer, our_tokenizer):
 
 
 @requires_reference
+def test_encode_matches_reference_fuzz(ref_tokenizer, our_tokenizer):
+    """Seeded fuzz: random byte soup, unicode planes, long repeats, and
+    random word salads from the vocab itself must all tokenize id-for-id."""
+    rng = np.random.RandomState(0)
+    words = list(our_tokenizer.encoder)[:5000:7]
+    for i in range(200):
+        kind = i % 4
+        if kind == 0:       # printable-ascii soup
+            n = rng.randint(1, 80)
+            s = "".join(chr(rng.randint(32, 127)) for _ in range(n))
+        elif kind == 1:     # random unicode code points (BMP, skip surrogates)
+            n = rng.randint(1, 40)
+            cps = rng.randint(0x20, 0xD7FF, size=n)
+            s = "".join(chr(c) for c in cps)
+        elif kind == 2:     # pathological repeats
+            unit = ["a", "ab", " ", "é", "0", "!?", "<|"][i % 7]
+            s = unit * rng.randint(1, 60)
+        else:               # vocab-word salad with random casing
+            k = rng.randint(1, 12)
+            ws = [words[rng.randint(len(words))].replace("</w>", "")
+                  for _ in range(k)]
+            s = " ".join(w.upper() if rng.rand() < 0.3 else w for w in ws)
+        assert our_tokenizer.encode(s) == ref_tokenizer.encode(s), repr(s)
+
+
+@requires_reference
 def test_vocab_matches_reference(ref_tokenizer, our_tokenizer):
     assert our_tokenizer.encoder == ref_tokenizer.encoder
     assert our_tokenizer.sot_id == ref_tokenizer.encoder["<|startoftext|>"]
