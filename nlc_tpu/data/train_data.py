@@ -71,6 +71,14 @@ def load_training_data(data_dir: str, batch_size: int, image_size: int,
 
     files = _list_images(data_dir)[shard::num_shards]
     assert files, f"no images under {data_dir}"
+    if len(files) < batch_size:
+        # both batch loops below drop partial batches (reference drop_last
+        # semantics, image_dataset.py:41-49); with fewer shard-local files
+        # than one batch they would yield nothing and the infinite epoch
+        # loop would busy-spin forever — fail loudly instead
+        raise ValueError(
+            f"shard {shard} has {len(files)} images < batch_size "
+            f"{batch_size}; reduce the batch or add data")
     rng = random.Random(seed + shard)
 
     # native C++ decode/crop path (thread pool off the GIL) when available;

@@ -83,3 +83,27 @@ def test_native_png_writer_roundtrip(tmp_path):
     assert save_batch_png(imgs, paths) == 3
     for i, p in enumerate(paths):
         np.testing.assert_array_equal(np.asarray(Image.open(p)), imgs[i])
+
+
+def test_load_training_data_rejects_sub_batch_dataset(tmp_path):
+    """Fewer shard-local images than one batch: both batch loops drop
+    partial batches (reference drop_last semantics), so the infinite epoch
+    loop would busy-spin without ever yielding — must raise instead."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+    from nlc_tpu.data.train_data import load_training_data
+    for i in range(3):
+        Image.fromarray((np.random.RandomState(i).rand(16, 16, 3) * 255)
+                        .astype(np.uint8)).save(tmp_path / f"{i}.png")
+    with pytest.raises(ValueError, match="batch_size"):
+        next(load_training_data(str(tmp_path), batch_size=8, image_size=16,
+                                shard=0, num_shards=1))
+    # and exactly one batch once enough files exist
+    for i in range(3, 8):
+        Image.fromarray((np.random.RandomState(i).rand(16, 16, 3) * 255)
+                        .astype(np.uint8)).save(tmp_path / f"{i}.png")
+    imgs, labels = next(load_training_data(str(tmp_path), batch_size=8,
+                                           image_size=16, shard=0,
+                                           num_shards=1))
+    assert imgs.shape == (8, 16, 16, 3)
