@@ -38,9 +38,12 @@ N_IMAGES = 4096
 RESOLUTION = 32
 TRAIN_KIMG = 600          # ~15 min on the bench chip at 1.55 s/kimg
 TRAIN_BATCH = 256
-HEAD_EPOCHS_TOTAL = 56    # x500 iters = 28k steps >> EMA halflife (~1400)
+HEAD_EPOCHS_TOTAL = 56    # x HEAD_ITERS = 28k steps >> EMA halflife (~1400)
 HEAD_CHUNK_EPOCHS = 8     # one resumable slice (~bounded chip exposure)
+HEAD_ITERS = 500
+HEAD_BATCH = 128
 SAMPLE_SIZE = 2048
+SWEEP_BATCH = 256
 SWEEP_GRID = [          # (steps, style) — style pairs per engine/edm.py
     (18, "base,base"),
     (18, "pred_partial,pred"),
@@ -172,8 +175,8 @@ def stage_head():
             # (reference semantics), clobbering the previous chunk's
             # optim_state one epoch into the chunk and running 2 unwanted
             # on-chip FID evals per chunk
-            "--iter_per_epoch", "500", "--save_per_epoch", "0",
-            "--eval_per_epoch", "0", "--batch_size", "128",
+            "--iter_per_epoch", str(HEAD_ITERS), "--save_per_epoch", "0",
+            "--eval_per_epoch", "0", "--batch_size", str(HEAD_BATCH),
             "--ema_rate", "0.9995", "--lr", "3e-4"]
     # the CLI nests runs under result_dir/<config>/<run-id>
     d = os.path.join(SIGMA_DIR, "cifar10", "0")
@@ -214,7 +217,8 @@ def stage_sweep():
         argv = ["--config", "cifar10", "--load_eps", snap,
                 "--load_sigma", head, "--fid_target", FID_NPZ,
                 "--sigma_type", style, "--num_timesteps", str(steps),
-                "--sample_size", str(SAMPLE_SIZE), "--batch_size", "256",
+                "--sample_size", str(SAMPLE_SIZE),
+                "--batch_size", str(SWEEP_BATCH),
                 "--save_folder", out]
         a, c = get_args(argv)
         a.norm_max = norm_max      # calibrated from OUR data, not CIFAR's
