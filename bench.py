@@ -26,18 +26,81 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import threading
 import time
 
 A100_TORCH_IMGS_PER_SEC = {"adm": 0.30, "ddim": 0.8}  # estimates, see docstring
+
+# Outage protection (the round-2 driver run burned its entire timeout on a
+# dead tunnel and recorded nothing): a subprocess matmul probe must succeed
+# before any model work starts, and a watchdog hard-exits with a stamped
+# JSON error line if the whole bench overruns its deadline. Either way the
+# driver gets a parseable line and a fast, non-zero exit instead of rc=124.
+PROBE_TIMEOUT_S = int(os.environ.get("NLC_BENCH_PROBE_TIMEOUT", "150"))
+DEADLINE_S = int(os.environ.get("NLC_BENCH_DEADLINE", "2700"))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def error_json(reason: str) -> str:
+    return json.dumps({
+        "metric": "images/sec/chip, 50-step NLC-DDIM 256x256 ADM-UNet sampling",
+        "value": 0.0,
+        "unit": "images/sec/chip",
+        "vs_baseline": 0.0,
+        "error": reason,
+    })
+
+
+def probe_device() -> tuple[bool, str]:
+    """Fail-fast health check: a 1024x1024 jitted matmul in a subprocess.
+
+    On the tunneled axon backend a dead relay blocks forever inside the
+    first dispatch with no exception to catch, so the probe must run in a
+    separate process under a hard timeout. The host fetch (np.asarray) is
+    the only reliable completion fence on axon (see CLAUDE.md).
+    """
+    code = (
+        "import os, numpy as np, jax, jax.numpy as jnp\n"
+        "plat = os.environ.get('NLC_BENCH_PLATFORM')\n"
+        "plat and jax.config.update('jax_platforms', plat)\n"
+        "r = jax.jit(lambda a: a @ a)(jnp.ones((1024, 1024), jnp.bfloat16))\n"
+        "print('PROBE_OK', float(np.asarray(r)[0, 0]), jax.devices()[0].platform)\n"
+    )
+    try:
+        cp = subprocess.run([sys.executable, "-c", code], timeout=PROBE_TIMEOUT_S,
+                            capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, f"device probe timed out after {PROBE_TIMEOUT_S}s (tunnel down/wedged)"
+    if cp.returncode == 0 and "PROBE_OK" in cp.stdout:
+        return True, cp.stdout.strip()
+    return False, f"device probe failed rc={cp.returncode}: {(cp.stderr or cp.stdout)[-300:]}"
+
+
+def start_watchdog() -> None:
+    def fire():
+        time.sleep(DEADLINE_S)
+        log(f"watchdog: bench exceeded {DEADLINE_S}s deadline; aborting")
+        print(error_json(f"bench exceeded {DEADLINE_S}s deadline (device stalled mid-run)"),
+              flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
     import jax
+
+    # NLC_BENCH_PLATFORM=cpu lets the full bench path run off-chip (e.g. to
+    # validate bench.py itself); shell-level JAX_PLATFORMS does not stick
+    # under the axon preload, only this in-process switch does.
+    plat_override = os.environ.get("NLC_BENCH_PLATFORM")
+    if plat_override:
+        jax.config.update("jax_platforms", plat_override)
     import jax.numpy as jnp
     import numpy as np
 
@@ -57,12 +120,14 @@ def main():
 
     quick = "--quick" in sys.argv
     kind = os.environ.get("NLC_BENCH_MODEL", "adm")
-    # default: the best measured quality-validated config — W8A8 int8 via
-    # XLA's conv lowering (docs/BENCHMARKS.md round-2 table: 0.777 img/s vs
-    # 0.746 bf16; trajectory drift bounded in tests/test_quant.py).
-    # NLC_BENCH_QUANT=bf16 restores the unquantized loop.
-    quant = os.environ.get("NLC_BENCH_QUANT", "conv" if kind == "adm" else "")
-    quant = None if quant in ("", "bf16", "none") else quant
+    # Headline default is bf16: the W8A8 int8 loop is faster (0.777 vs
+    # 0.746 img/s, docs/BENCHMARKS.md round-2 table) but its quality
+    # evidence is trajectory-drift bounds, not an FID measurement, and the
+    # A100 baseline is full-precision — so int8 stays opt-in
+    # (NLC_BENCH_QUANT=conv) until the 32^2 study's int8 FID cell lands
+    # within the north-star's 2% clause (benchmarks/study32.py).
+    quant = os.environ.get("NLC_BENCH_QUANT", "")
+    quant = None if quant in ("", "bf16", "none") or quick else quant
     res = 64 if quick else 256
     batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "8"))
     steps = 10 if quick else 50
@@ -153,9 +218,8 @@ def main():
     log(f"batch {batch}, {steps} steps: {dt:.3f}s/batch -> {imgs_per_sec:.3f} img/s")
 
     baseline = A100_TORCH_IMGS_PER_SEC["ddim" if quick else kind]
-    prec = "bf16"
-    if not quick and getattr(cfg, "quant_backend", None):
-        prec = f"int8-{cfg.quant_backend}"
+    # precision stamp always reflects what actually ran (ADVICE r2)
+    prec = f"int8-{cfg.quant_backend}" if getattr(cfg, "quant_backend", None) else "bf16"
     result = {
         "metric": f"images/sec/chip, {steps}-step NLC-DDIM {res}x{res} "
                   f"{model_name} sampling ({prec}, style={dcfg.style})",
@@ -166,7 +230,7 @@ def main():
     if prec != "bf16":
         # the baseline estimate is full-precision torch; disclose the
         # precision delta on the headline line itself
-        result["note"] = ("W8A8 int8 default; trajectory-drift quality "
+        result["note"] = ("W8A8 int8 (opt-in); trajectory-drift quality "
                           "bounds in tests/test_quant.py, bf16 comparison "
                           "in docs/BENCHMARKS.md (NLC_BENCH_QUANT=bf16 "
                           "reproduces the unquantized loop)")
@@ -174,6 +238,13 @@ def main():
 
 
 if __name__ == "__main__":
+    ok, msg = probe_device()
+    if not ok:
+        log("FAIL-FAST:", msg)
+        print(error_json(msg), flush=True)
+        sys.exit(2)
+    log("probe:", msg)
+    start_watchdog()
     try:
         main()
     except Exception as e:  # device faults etc: fall back so the driver

@@ -103,7 +103,8 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         from .quant_pallas import int8_conv3x3_pallas, pallas_conv_applicable
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and pallas_conv_applicable(xq.shape, wq.shape, strides,
-                                             padding):
+                                             padding,
+                                             jnp.dtype(out_dtype).itemsize):
             fused = (a_scale * w_scale).astype(jnp.float32)
             b = (bias if bias is not None
                  else jnp.zeros((wq.shape[-1],))).astype(jnp.float32)

@@ -86,7 +86,14 @@ def _pick_tiles(h, w, c, cout, itemsize_out=2, budget=12 * 1024 * 1024):
                     + 9 * c * tc * 2)             # weight block (pipelined)
             if work <= budget:
                 return th, tc
-    return th_cands[-1], tc_cands[-1]
+    # No tiling fits the scoped-vmem budget: raise instead of returning the
+    # smallest candidate, which would pass the gate and then blow the ~16 MB
+    # compiler limit at lowering time (ADVICE r2). pallas_conv_applicable
+    # catches this so int8_conv routes such shapes to the taps backend.
+    raise ValueError(
+        f"int8_conv3x3_pallas: no (row, channel) tiling of "
+        f"H={h},W={w},C={c},Cout={cout} fits the {budget/2**20:.0f}MB "
+        f"scoped-vmem budget")
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -129,13 +136,21 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
     )(xp, wq, scale.reshape(1, cout), bias.reshape(1, cout))
 
 
-def pallas_conv_applicable(x_shape, kernel_shape, strides, padding) -> bool:
-    """stride-1 SAME 3x3 with a tileable H (the UNet hot-op shape)."""
+def pallas_conv_applicable(x_shape, kernel_shape, strides, padding,
+                           itemsize_out=2) -> bool:
+    """stride-1 SAME 3x3 with a tileable H (the UNet hot-op shape) whose
+    working set admits a VMEM-budget tiling (`_pick_tiles` succeeds)."""
     kh, kw = kernel_shape[:2]
     if (kh, kw) != (3, 3) or tuple(strides) != (1, 1):
         return False
     if not (padding == "SAME" or padding == [(1, 1), (1, 1)]
             or padding == ((1, 1), (1, 1))):
         return False
-    h = x_shape[1]
-    return h <= 16 or h % 16 == 0
+    h, w, c = x_shape[1], x_shape[2], x_shape[3]
+    if not (h <= 16 or h % 16 == 0):
+        return False
+    try:
+        _pick_tiles(h, w, c, kernel_shape[-1], itemsize_out)
+    except ValueError:
+        return False
+    return True

@@ -51,6 +51,17 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
         if not any(s in msg for s in ("already", "only be called once",
                                       "before any jax")):
             raise
+        # The message text alone can't distinguish "already initialized"
+        # from "local backend was touched before init" (ADVICE r2); verify
+        # the cluster actually has the requested size rather than silently
+        # degrading a misconfigured multi-process run to single-process.
+        if num_processes is not None and jax.process_count() != num_processes:
+            raise RuntimeError(
+                f"init_distributed({num_processes} processes) swallowed "
+                f"'{e}', but jax.process_count()={jax.process_count()} — "
+                "the local backend was initialized before "
+                "jax.distributed.initialize could run (import order bug), "
+                "so this process would execute desynced") from e
 
 
 def make_mesh(axes: Sequence[str] = ("data",), shape: Optional[Sequence[int]] = None,
