@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..restoration.data import PairedImageDataset, SyntheticPairedDataset, paired_loader
 from ..restoration.model import RestorationModel
+from ..restoration.prefetch import wrap_prefetch
 from ..utils import logger
 
 
@@ -84,6 +85,9 @@ def main(opt):
     enlarge = (dtrain or {}).get("dataset_enlarge_ratio", 1)
     train_iter = paired_loader(train_ds, batch, enlarge_ratio=enlarge,
                                infinite=True)
+    # prefetch_mode: ~|cpu|cuda — reference prefetch_dataloader.py parity;
+    # 'cuda' maps to the device prefetcher (H2D overlapped with compute)
+    train_iter, prefetcher = wrap_prefetch(train_iter, dtrain)
 
     lq0, _ = train_ds[0]
     state = model.init_state(jnp.zeros((1,) + lq0.shape))
@@ -99,14 +103,20 @@ def main(opt):
 
     key = jax.random.PRNGKey(opt.get("manual_seed", 0))
     t0 = time.time()
+    input_wait = 0.0  # host time blocked waiting for the next batch
     while int(state.step) < total_iter:
+        tw = time.perf_counter()
         lq, gt = next(train_iter)
+        input_wait += time.perf_counter() - tw
         state, loss = model.train_step(state, jnp.asarray(lq), jnp.asarray(gt),
                                        jax.random.fold_in(key, int(state.step)))
         it = int(state.step)
         if it % print_freq == 0:
+            elapsed = time.time() - t0
+            frac = input_wait / max(elapsed, 1e-9)
             logger.log(f"iter {it}/{total_iter} loss {float(loss):.5f} "
-                       f"({(time.time()-t0):.1f}s)")
+                       f"({elapsed:.1f}s, input_wait_frac {frac:.3f})")
+            logger.logkv("input_wait_frac", frac)
         if val_ds is not None and it % val_freq == 0:
             metrics = model.validate(state.params,
                                      paired_loader(val_ds, 1, shuffle=False),

@@ -501,3 +501,70 @@ def test_local_variant_registry():
     assert out_l.shape == out_g.shape
     assert not np.allclose(np.asarray(out_l), np.asarray(out_g))
     assert "PANetLocal" in ARCH_REGISTRY and "SPANetLocal" in ARCH_REGISTRY
+
+
+def test_prefetch_loader_transparent():
+    """PrefetchLoader yields exactly the wrapped iterator's items in order,
+    in both cpu and device modes (reference prefetch_dataloader.py parity)."""
+    from nlc_tpu.restoration.prefetch import PrefetchLoader, wrap_prefetch
+    rng = np.random.RandomState(0)
+    items = [(rng.rand(2, 4, 4, 3).astype(np.float32),
+              rng.rand(2, 4, 4, 3).astype(np.float32)) for _ in range(7)]
+    for mode in ("cpu", "device"):
+        got = list(PrefetchLoader(iter(items), num_prefetch_queue=2, mode=mode))
+        assert len(got) == len(items)
+        for (a, b), (ra, rb) in zip(got, items):
+            np.testing.assert_array_equal(np.asarray(a), ra)
+            np.testing.assert_array_equal(np.asarray(b), rb)
+    # wait-time accounting exists and is finite
+    pl = PrefetchLoader(iter(items), mode="cpu")
+    list(pl)
+    assert pl.batches == len(items) and pl.wait_time >= 0.0
+
+    # YAML-schema wrapper: None mode passes through untouched
+    it2, loader = wrap_prefetch(iter(items), {"prefetch_mode": None})
+    assert loader is None and len(list(it2)) == 7
+    it3, loader3 = wrap_prefetch(iter(items),
+                                 {"prefetch_mode": "cuda",
+                                  "num_prefetch_queue": 3})
+    assert loader3 is not None and len(list(it3)) == 7
+
+
+def test_prefetch_loader_propagates_worker_error():
+    from nlc_tpu.restoration.prefetch import PrefetchLoader
+
+    def gen():
+        yield (np.zeros(1), np.zeros(1))
+        raise RuntimeError("decode failed")
+
+    pl = PrefetchLoader(gen(), mode="cpu")
+    next(pl)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(pl)
+
+
+def test_train_cli_prefetch_and_wait_metric(tmp_path, capsys):
+    """basicsr_train with prefetch_mode: cpu trains identically and logs the
+    measured input_wait_frac (VERDICT r2 #6)."""
+    from nlc_tpu.cli.basicsr_train import main as train_main, parse_options
+    opt = {
+        "name": "tp", "manual_seed": 0,
+        "network_g": {"type": "NAFNet", "width": 8, "middle_blk_num": 1,
+                      "enc_blk_nums": [1], "dec_blk_nums": [1]},
+        "datasets": {"train": {"type": "synthetic", "gt_size": 16,
+                               "batch_size_per_gpu": 2,
+                               "prefetch_mode": "cpu",
+                               "num_prefetch_queue": 2}},
+        "train": {"total_iter": 4, "pixel_opt": {"type": "PSNRLoss"},
+                  "optim_g": {"lr": 1e-3},
+                  "scheduler": {"type": "LinearLR", "total_iter": 4}},
+        "logger": {"print_freq": 2, "save_checkpoint_freq": 4},
+        "path": {"experiments_root": str(tmp_path / "exp")},
+    }
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    state, _ = train_main(parse_options(["-opt", str(opt_path)]))
+    assert int(state.step) >= 4
+    cap = capsys.readouterr()
+    assert "input_wait_frac" in cap.err + cap.out  # logger.log prints to stderr
