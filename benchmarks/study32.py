@@ -44,15 +44,23 @@ HEAD_ITERS = 500
 HEAD_BATCH = 128
 SAMPLE_SIZE = 2048
 SWEEP_BATCH = 256
-SWEEP_GRID = [          # (steps, style) — style pairs per engine/edm.py
-    (18, "base,base"),
-    (18, "pred_partial,pred"),
-    (18, "pred_partial,pred_partial"),
-    (5, "base,base"),
-    (5, "pred_partial,pred"),
-    (5, "pred_partial,pred_partial"),
-    (3, "base,base"),
-    (3, "pred_partial,pred"),
+SWEEP_GRID = [          # (steps, style, quant) — style pairs per engine/edm.py
+    (18, "base,base", ""),
+    (18, "pred_partial,pred", ""),
+    (18, "pred_partial,pred_partial", ""),
+    (5, "base,base", ""),
+    (5, "pred_partial,pred", ""),
+    (5, "pred_partial,pred_partial", ""),
+    (3, "base,base", ""),
+    (3, "pred_partial,pred", ""),
+    # round-3 extension cells (VERDICT r2 #1): measure the FID deltas that
+    # gate (a) the int8 bench default and (b) the pred_fast quality claim,
+    # against the bf16 'pred' cells above.
+    (18, "pred_partial,pred", "conv"),
+    (5, "pred_partial,pred", "conv"),
+    (18, "pred_fast,pred_fast", ""),
+    (5, "pred_fast,pred_fast", ""),
+    (5, "pred_fast,pred_fast", "conv"),
 ]
 
 
@@ -194,8 +202,9 @@ def stage_head():
     return done + HEAD_CHUNK_EPOCHS >= HEAD_EPOCHS_TOTAL
 
 
-def _cell_dir(steps, style):
-    return os.path.join(SWEEP, f"s{steps}_{style.replace(',', '-')}")
+def _cell_dir(steps, style, quant=""):
+    suffix = f"_int8{quant}" if quant else ""
+    return os.path.join(SWEEP, f"s{steps}_{style.replace(',', '-')}{suffix}")
 
 
 def stage_sweep():
@@ -210,8 +219,8 @@ def stage_sweep():
         norm_max = json.load(f)["p995"]
     from nlc_tpu.cli.edm_image_sample import get_args, main
     all_done = True
-    for steps, style in SWEEP_GRID:
-        out = _cell_dir(steps, style)
+    for steps, style, quant in SWEEP_GRID:
+        out = _cell_dir(steps, style, quant)
         if os.path.exists(os.path.join(out, "0", "results.json")):
             continue
         argv = ["--config", "cifar10", "--load_eps", snap,
@@ -220,11 +229,13 @@ def stage_sweep():
                 "--sample_size", str(SAMPLE_SIZE),
                 "--batch_size", str(SWEEP_BATCH),
                 "--save_folder", out]
+        if quant:
+            argv += ["--quant", quant]
         a, c = get_args(argv)
         a.norm_max = norm_max      # calibrated from OUR data, not CIFAR's
         a.norm_min = 0.0
         r = main(a, c)
-        print("cell", steps, style, "->", r)
+        print("cell", steps, style, quant or "bf16", "->", r)
         all_done = all_done and os.path.exists(
             os.path.join(out, "0", "results.json"))
     return all_done
@@ -232,11 +243,12 @@ def stage_sweep():
 
 def report():
     rows = []
-    for steps, style in SWEEP_GRID:
-        p = os.path.join(_cell_dir(steps, style), "0", "results.json")
+    for steps, style, quant in SWEEP_GRID:
+        p = os.path.join(_cell_dir(steps, style, quant), "0", "results.json")
         if os.path.exists(p):
             with open(p) as f:
-                rows.append((steps, style, json.load(f).get("fid")))
+                rows.append((steps, style, quant or "bf16",
+                             json.load(f).get("fid")))
     print(json.dumps(rows, indent=1))
     return rows
 

@@ -101,6 +101,10 @@ def get_args(argv=None):
     p.add_argument("--sigma_block", type=int, default=2)
     p.add_argument("--sigma_dropout", type=float, default=0.0)
     p.add_argument("--bf16", type=int, default=1)
+    p.add_argument("--quant", type=str, default="",
+                   help="W8A8 int8 backend for the UNet's stride-1 3x3 convs "
+                        "(ops/quant.py: conv|taps|im2col|pallas|auto, optional "
+                        "@threshold suffix); empty = bf16")
     args = p.parse_args(argv)
 
     # args.json rehydration from a prior sigma-training run
@@ -149,7 +153,7 @@ def build(args, config):
         decoder_type=m.get("decoder_type", "standard"),
         resample_filter=m.get("resample_filter", [1, 1]),
         sigma_block=args.sigma_block, sigma_dropout=args.sigma_dropout,
-        dtype=dtype)
+        dtype=dtype, quant_backend=getattr(args, "quant", "") or None)
 
     res = m.img_resolution
     if args.load_eps and os.path.exists(args.load_eps):

@@ -117,7 +117,7 @@ def create_edm_sigma_eps_model(img_resolution: int, in_channels: int = 3,
                                decoder_type: str = "standard",
                                resample_filter=(1, 1), sigma_block: int = 2,
                                sigma_dropout: float = 0.0, dtype=jnp.float32,
-                               sigma_dtype=None, **_ignored):
+                               sigma_dtype=None, quant_backend=None, **_ignored):
     cfg = SongUNetConfig(
         img_resolution=img_resolution, in_channels=in_channels,
         out_channels=out_channels, augment_dim=augment_dim,
@@ -126,7 +126,8 @@ def create_edm_sigma_eps_model(img_resolution: int, in_channels: int = 3,
         attn_resolutions=tuple(attn_resolutions), dropout=dropout,
         embedding_type=embedding_type, channel_mult_noise=1,
         encoder_type=encoder_type, decoder_type=decoder_type,
-        resample_filter=tuple(resample_filter))
+        resample_filter=tuple(resample_filter),
+        quant_backend=quant_backend or None)
     model = SongUNet(cfg, dtype=dtype)
     d, _, c = cfg.feat_shape
     head = EDMSigmaHead(dim=d, channels=c, n_blocks=sigma_block, out_dim=1,

@@ -109,6 +109,7 @@ class EDMConv(nn.Module):
     resample_filter: Tuple[float, ...] = (1, 1)
     fused_resample: bool = False
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None  # W8A8 backend for the plain conv path
 
     @nn.compact
     def __call__(self, x):
@@ -144,7 +145,15 @@ class EDMConv(nn.Module):
                 x = fir_upsample(x, self.resample_filter)
             if self.down:
                 x = fir_downsample(x, self.resample_filter)
-            if k:
+            if k and self.quant and not (self.up or self.down):
+                # W8A8 path for the stride-1 hot convs (bias added below,
+                # outside the dequant epilogue, to keep the two paths'
+                # param layout and math identical)
+                from ..ops.quant import routed_conv
+                x = routed_conv(x, kern, None, (1, 1),
+                                [(w_pad, w_pad), (w_pad, w_pad)],
+                                self.quant, self.dtype)
+            elif k:
                 x = conv(x, kern, w_pad)
         if k and self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,),
@@ -189,6 +198,7 @@ class EDMUNetBlock(nn.Module):
     adaptive_scale: bool = True
     with_emb: bool = True
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, emb=None, deterministic: bool = True):
@@ -201,6 +211,7 @@ class EDMUNetBlock(nn.Module):
         orig = x
         h = EDMConv(out_ch, 3, up=self.up, down=self.down,
                     resample_filter=self.resample_filter, dtype=self.dtype,
+                    quant=self.quant,
                     name="conv0")(swish(EDMGroupNorm(eps=self.eps, name="norm0")(x)))
 
         if self.with_emb:
@@ -215,7 +226,7 @@ class EDMUNetBlock(nn.Module):
             h = swish(EDMGroupNorm(eps=self.eps, name="norm1")(h))
 
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = EDMConv(out_ch, 3, dtype=self.dtype,
+        h = EDMConv(out_ch, 3, dtype=self.dtype, quant=self.quant,
                     name="conv1")(h)
 
         if out_ch != in_ch or self.up or self.down:
@@ -264,6 +275,7 @@ class SongUNetConfig:
     encoder_type: str = "standard"       # 'standard' | 'skip' | 'residual'
     decoder_type: str = "standard"       # 'standard' | 'skip'
     resample_filter: Tuple[float, ...] = (1, 1)
+    quant_backend: Optional[str] = None  # W8A8 backend for stride-1 3x3 convs
 
     @property
     def feat_shape(self) -> Tuple[int, int, int]:
@@ -284,7 +296,7 @@ class SongUNet(nn.Module):
         self._noise_ch = noise_ch
         bk = dict(num_heads=1, dropout=cfg.dropout, skip_scale=math.sqrt(0.5),
                   eps=1e-6, resample_filter=cfg.resample_filter, resample_proj=True,
-                  adaptive_scale=False, dtype=self.dtype)
+                  adaptive_scale=False, dtype=self.dtype, quant=cfg.quant_backend)
 
         if cfg.embedding_type == "fourier":
             self.fourier_freqs = self.param(
@@ -308,6 +320,8 @@ class SongUNet(nn.Module):
             res = cfg.img_resolution >> level
             if level == 0:
                 cout = cfg.model_channels
+                # stem conv stays bf16, matching the ADM family's policy
+                # (first/last layers are quality-sensitive, tiny FLOPs)
                 enc.append((f"enc_{res}x{res}_conv", "conv",
                             EDMConv(cout, 3, dtype=self.dtype,
                                     name=f"enc_{res}x{res}_conv")))
@@ -512,6 +526,8 @@ class DhariwalUNet(nn.Module):
             res = cfg.img_resolution >> level
             if level == 0:
                 cout = cfg.model_channels * mult
+                # stem conv stays bf16, matching the ADM family's policy
+                # (first/last layers are quality-sensitive, tiny FLOPs)
                 enc.append((f"enc_{res}x{res}_conv", "conv",
                             EDMConv(cout, 3, dtype=self.dtype,
                                     name=f"enc_{res}x{res}_conv")))

@@ -237,36 +237,46 @@ class QuantConv(nn.Module):
                             (kh, kw, x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32) if self.use_bias else None
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad), (pad, pad)]
-        backend, min_res = self.backend, 0
-        if backend and "@" in backend:
-            backend, min_res = backend.split("@")
-            min_res = int(min_res)
-        plain = False
-        if backend == "auto":
-            # measured per-shape policy (docs/BENCHMARKS.md round-2 conv
-            # microbenchmarks): XLA's int8 conv wins at >=64^2 3x3 (201 vs
-            # 155 TF/s bf16 at the top shape); the fused Pallas kernel wins
-            # at <=32^2 3x3 (65/58 vs 57/51); 1x1 and strided convs are
-            # memory-bound and stay bf16.
-            if (kh, kw) != (3, 3) or tuple(self.strides) != (1, 1):
-                plain = True
-            else:
-                backend = "conv" if x.shape[1] >= 64 else "pallas"
-        # under a threshold'd backend 1x1 convs always stay bf16: they are
-        # memory-bound at every measured shape, so the activation-quantize
-        # pass is pure overhead (256^2 512->256: int8 61 vs bf16 100 TF/s)
-        if plain or (min_res and (x.shape[1] < min_res
-                                  or (kh, kw) == (1, 1))):
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                tuple(self.strides), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            if bias is not None:
-                y = y + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
-            return y.astype(self.dtype)
-        return int8_conv(x, kernel, bias, self.strides, pad,
-                         backend=backend, out_dtype=self.dtype)
+        return routed_conv(x, kernel, bias, self.strides, self.padding,
+                           self.backend, self.dtype)
+
+
+def routed_conv(x, kernel, bias, strides, padding, backend, dtype):
+    """The W8A8 backend-routing policy shared by every model family
+    (QuantConv and song_unet.EDMConv): resolve 'auto' / '@threshold'
+    suffixes per the measured per-shape policy and run either the plain
+    conv or the int8 path."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    min_res = 0
+    if backend and "@" in backend:
+        backend, min_res = backend.split("@")
+        min_res = int(min_res)
+    plain = not backend
+    if backend == "auto":
+        # measured per-shape policy (docs/BENCHMARKS.md round-2 conv
+        # microbenchmarks): XLA's int8 conv wins at >=64^2 3x3 (201 vs
+        # 155 TF/s bf16 at the top shape); the fused Pallas kernel wins
+        # at <=32^2 3x3 (65/58 vs 57/51); 1x1 and strided convs are
+        # memory-bound and stay bf16.
+        if (kh, kw) != (3, 3) or tuple(strides) != (1, 1):
+            plain = True
+        else:
+            backend = "conv" if x.shape[1] >= 64 else "pallas"
+    # under a threshold'd backend 1x1 convs always stay bf16: they are
+    # memory-bound at every measured shape, so the activation-quantize
+    # pass is pure overhead (256^2 512->256: int8 61 vs bf16 100 TF/s)
+    if plain or (min_res and (x.shape[1] < min_res
+                              or (kh, kw) == (1, 1))):
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype),
+            tuple(strides), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
+        return y.astype(dtype)
+    return int8_conv(x, kernel, bias, strides, pad,
+                     backend=backend, out_dtype=dtype)

@@ -442,3 +442,18 @@ def test_make_fid_stats_cli(tmp_path):
     assert abs(fid.fid_of_dir(str(d))) < 1e-3      # self-distance ~ 0
     with pytest.raises(SystemExit):
         stats_main(["--images_dir", str(tmp_path / "nope"), "--out", "x.npz"])
+
+
+def test_edm_sample_cli_quant_and_pred_fast(store, tmp_path):
+    """--quant routes the SongUNet 3x3 convs through the W8A8 path and
+    --sigma_type pred_fast,pred_fast uses the fused sub-step (the study32
+    extension cells, VERDICT r2 #1)."""
+    from nlc_tpu.cli.edm_image_sample import get_args, main
+    args, config = get_args([
+        "--config", "cifar10", "--config_path", "tinyedm", "--store_dir", store,
+        "--num_timesteps", "4", "--sample_size", "2", "--batch_size", "2",
+        "--bf16", "0", "--sigma_type", "pred_fast,pred_fast",
+        "--quant", "taps",
+        "--test_dir", str(tmp_path / "edmq")])
+    main(args, config)
+    assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2

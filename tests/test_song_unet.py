@@ -209,3 +209,26 @@ def test_forward_and_encode_consistency():
     np.testing.assert_array_equal(
         np.asarray(feat), np.asarray(dh.apply(p, x, t,
                                               method=DhariwalUNet.encode)))
+
+
+def test_song_unet_quant_backend_drift():
+    """quant_backend='taps' shares the exact param tree with the bf16 model
+    and produces a bounded-drift output (W8A8 per-channel weight + per-tensor
+    activation quantization; same policy as the ADM/DDIM families)."""
+    import dataclasses
+    cfg_q = dataclasses.replace(SMALL, quant_backend="taps")
+    m = SongUNet(SMALL, dtype=jnp.bfloat16)
+    mq = SongUNet(cfg_q, dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+    nl = jnp.array([0.5, -1.0])
+    params = m.init(jax.random.PRNGKey(0), x, nl)
+    params_q = mq.init(jax.random.PRNGKey(0), x, nl)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_q)
+    ref = np.asarray(m.apply(params, x, nl), np.float32)
+    out = np.asarray(mq.apply(params, x, nl), np.float32)
+    scale = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(out - ref).max() / scale < 0.1, \
+        (np.abs(out - ref).max(), scale)
+    # and it must not silently fall through to bf16
+    assert np.abs(out - ref).max() > 0.0
