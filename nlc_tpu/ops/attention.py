@@ -25,6 +25,11 @@ import jax.numpy as jnp
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # bytes, conservative per-core working set
 
+# Trace-time counters: which backward implementation was staged into the
+# compiled program. A chip training run asserts path_counts["pallas_bwd"] > 0
+# to prove the kernel (not the einsum recompute) is what actually trained.
+path_counts = {"pallas_fwd": 0, "pallas_bwd": 0, "xla_bwd": 0}
+
 
 def _xla_attention(q, k, v, scale):
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
@@ -154,9 +159,11 @@ def _pallas_attention_vjp_fwd(q, k, v, scale):
 def _pallas_attention_vjp_bwd(scale, res, g):
     q, k, v = res
     if use_pallas_attention_bwd(q.shape, q.dtype):
+        path_counts["pallas_bwd"] += 1
         return _pallas_attention_bwd_impl(q, k, v, g, scale)
     # Working set exceeds VMEM: differentiate through the equivalent XLA
     # einsum formulation instead (recompute, fused by XLA).
+    path_counts["xla_bwd"] += 1
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale),
                      q, k, v)
     return vjp(g)
@@ -185,5 +192,6 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     d = q.shape[-1]
     scale = d ** -0.5 if scale is None else scale
     if use_pallas_attention(q.shape, q.dtype):
+        path_counts["pallas_fwd"] += 1
         return _pallas_attention(q, k, v, float(scale))
     return _xla_attention(q, k, v, scale)
