@@ -120,7 +120,14 @@ def main(args):
 
     state, tx = create_edm_train_state(params, loop_cfg)
     if args.resume_state and os.path.exists(args.resume_state):
-        data = load_pytree(args.resume_state)
+        # restore INTO the live state template: without `target`, orbax
+        # returns the optax state as raw nested dicts/lists (NamedTuple
+        # structure lost) and the first tx.update crashes on `state.mu`
+        import numpy as np
+        data = load_pytree(args.resume_state,
+                           target={"params": state.params,
+                                   "opt_state": state.opt_state,
+                                   "cur_nimg": np.asarray(0)})
         state = state.replace(params=data["params"], opt_state=data["opt_state"],
                               cur_nimg=jnp.asarray(int(data["cur_nimg"])))
         logger.log("resumed from", args.resume_state)

@@ -217,6 +217,39 @@ def test_edm_train_cli_and_resume(store, tmp_path):
                                           "cifar10", "1"))
 
 
+def test_edm_full_train_cli_resume_state(tmp_path):
+    """edm_train --resume_state must restore the optax state into TYPED
+    containers and keep stepping: orbax without a `target` returns raw
+    nested dicts (NamedTuple structure lost) and the first tx.update after
+    resume crashed on `state.mu` (regression found by a verify drive)."""
+    import glob
+    from PIL import Image
+    from nlc_tpu.cli.edm_train import get_args, main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(32):
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            str(data / f"{i:03d}.png"))
+    run = str(tmp_path / "run")
+    argv = ["--data", str(data), "--run_dir", run, "--arch", "ddpmpp",
+            "--resolution", "16", "--model_channels", "8",
+            "--channel_mult", "1,2", "--num_blocks", "1", "--dropout", "0.0",
+            "--augment", "0", "--duration_kimg", "1", "--batch", "16",
+            "--kimg_per_tick", "1", "--snapshot_ticks", "1", "--bf16", "0"]
+    main(get_args(argv))
+    states = sorted(glob.glob(os.path.join(run, "training-state-*")))
+    assert states, "training loop wrote no state dump"
+
+    argv2 = list(argv)
+    argv2[argv2.index("--duration_kimg") + 1] = "2"
+    main(get_args(argv2 + ["--resume_state", states[-1]]))
+    stats = [json.loads(l) for l in open(os.path.join(run, "stats.jsonl"))]
+    assert stats[-1]["Progress/kimg"] >= 2.0
+    assert all(np.isfinite(s["Loss/loss"]) for s in stats)
+
+
 def test_sample_cli_loads_orbax_checkpoints(store, tmp_path):
     """--load_eps/--load_sigma accept orbax dirs (trainer checkpoints and
     convert_checkpoint output), not just torch files."""
