@@ -6,7 +6,8 @@ ADM UNet (model_channels 256, learned variance, attention at 32/16/8,
 resblock up/down — the class of model the reference's LSUN/ImageNet-256
 configs load) with the noise-level-correction step fused into every
 denoising iteration (encode -> sigma head -> corrected full forward ->
-x_{t-1}), bf16 activations, the whole loop one jitted lax.scan.
+x_{t-1}), bf16 activations with W8A8 int8 interior convs (FID-neutral,
+see the quant note below), the whole loop one jitted lax.scan.
 
 Prints ONE JSON line:
   {"metric": ..., "value": imgs/sec/chip, "unit": ..., "vs_baseline": ...}
@@ -120,13 +121,14 @@ def main():
 
     quick = "--quick" in sys.argv
     kind = os.environ.get("NLC_BENCH_MODEL", "adm")
-    # Headline default is bf16: the W8A8 int8 loop is faster (0.777 vs
-    # 0.746 img/s, docs/BENCHMARKS.md round-2 table) but its quality
-    # evidence is trajectory-drift bounds, not an FID measurement, and the
-    # A100 baseline is full-precision — so int8 stays opt-in
-    # (NLC_BENCH_QUANT=conv) until the 32^2 study's int8 FID cell lands
-    # within the north-star's 2% clause (benchmarks/study32.py).
-    quant = os.environ.get("NLC_BENCH_QUANT", "")
+    # Headline default is W8A8 int8 ('conv'): 0.777 vs 0.746 img/s bf16
+    # (docs/BENCHMARKS.md round-2 table), and the 32^2 study's trained-model
+    # FID cells measured it inside the north-star's 2% clause (18-step:
+    # 7.539 int8 vs 7.555 bf16, -0.2%; 5-step: 12.968 vs 13.274, -2.3%,
+    # int8 better — benchmarks/measurements/r3/study32/, docs/BENCHMARKS.md
+    # "The 32² study"). NLC_BENCH_QUANT=bf16 reproduces the unquantized
+    # loop; the metric string always stamps what ran.
+    quant = os.environ.get("NLC_BENCH_QUANT", "conv")
     quant = None if quant in ("", "bf16", "none") or quick else quant
     res = 64 if quick else 256
     batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "8"))
@@ -230,10 +232,11 @@ def main():
     if prec != "bf16":
         # the baseline estimate is full-precision torch; disclose the
         # precision delta on the headline line itself
-        result["note"] = ("W8A8 int8 (opt-in); trajectory-drift quality "
-                          "bounds in tests/test_quant.py, bf16 comparison "
-                          "in docs/BENCHMARKS.md (NLC_BENCH_QUANT=bf16 "
-                          "reproduces the unquantized loop)")
+        result["note"] = ("W8A8 int8; FID-neutral on trained models "
+                          "(32^2 study: -0.2% at 18 steps, "
+                          "benchmarks/measurements/r3/study32) + drift "
+                          "bounds in tests/test_quant.py; NLC_BENCH_QUANT="
+                          "bf16 reproduces the unquantized loop")
     print(json.dumps(result))
 
 

@@ -1,5 +1,7 @@
 """Int8 quantized convolution: correctness of both backends
 (ops/quant.py) against the fp32 reference conv."""
+import os
+
 import numpy as np
 import pytest
 
@@ -351,3 +353,55 @@ def test_int8_50step_loop_quality_drift():
                              - np.asarray(out_q, np.float32)).max())
     assert drift.max() < 0.25, (drift.max(), drift.argmax())
     assert final_err < 0.25, final_err
+
+
+# ---------------------------------------------------------------------------
+# Calibration: the drift budgets above are traceable to measured image
+# quality (VERDICT r2 #8). The 32^2 study (benchmarks/study32.py; trained
+# 55.7M SongUNet + trained sigma head, 2048 same-seed samples/cell,
+# benchmarks/measurements/r3/) measured BOTH the int8-vs-bf16 final-image
+# drift and the FID it produced, on the same sample sets:
+#
+#   18-step NLC 'pred':  drift mean 0.011, median per-image max 0.039,
+#                        p99 max 0.33 (on [-1,1])  ->  FID 7.539 vs 7.555
+#                        (-0.2%, inside the north-star 2% clause)
+#   5-step  NLC 'pred':  drift mean 0.081, median per-image max 0.24
+#                        ->  FID 12.968 vs 13.274 (-2.3%, int8 better)
+#
+# So per-image max-abs drift up to at least ~0.33 is measured FID-neutral;
+# the 0.25 trajectory budget the regression tests above enforce sits INSIDE
+# that envelope. The distribution-level stats are the sensitive regression
+# signal, hence the budgets asserted below (2x the 18-step measurement).
+STUDY32_SWEEP = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "study32", "sweep")
+DRIFT_MEAN_BUDGET = 0.022     # 2x measured 0.011 (18-step trained models)
+DRIFT_MEDMAX_BUDGET = 0.08    # 2x measured 0.039
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(os.path.join(STUDY32_SWEEP,
+                                   "s18_pred_partial-pred_int8conv")),
+    reason="study32 sweep assets not present (built by benchmarks/study32.py)")
+def test_int8_drift_calibrated_on_trained_models():
+    """Regress the int8 'conv' backend against the trained-model drift that
+    the 32^2 study measured to be FID-neutral: the bf16 and int8 sweep
+    cells sampled the SAME seeds, so their saved PNGs are a paired
+    trajectory-endpoint comparison on real (trained) weights — unlike the
+    random-weight bounds above, a drift regression here is calibrated
+    against an actual FID measurement (see module comment)."""
+    from PIL import Image
+
+    def load(cell, n=256):
+        d = os.path.join(STUDY32_SWEEP, cell, "0", "images")
+        fs = sorted(os.listdir(d))[:n]
+        assert len(fs) == n, f"{cell}: expected >= {n} samples"
+        return np.stack([np.asarray(Image.open(os.path.join(d, f)),
+                                    np.float32) for f in fs])
+
+    a = load("s18_pred_partial-pred")
+    b = load("s18_pred_partial-pred_int8conv")
+    diff = np.abs(a - b) / 127.5  # [-1,1] scale
+    per_img_max = diff.reshape(len(diff), -1).max(1)
+    assert float(diff.mean()) < DRIFT_MEAN_BUDGET, float(diff.mean())
+    assert float(np.median(per_img_max)) < DRIFT_MEDMAX_BUDGET, \
+        float(np.median(per_img_max))
