@@ -74,6 +74,23 @@ def child(a) -> None:
         schedule, encode_fn, sigma_apply, tx,
         perturb=PerturbCoefficients(eta1_scale=0.1)))
 
+    # single-backward gradient probe (no trainer stochasticity, no step
+    # compounding): d/dparams sum(head(feat)^2) on a fixed feature map —
+    # the parent compares this leaf-for-leaf between the Pallas and XLA
+    # runs, which is the direct correctness check on the backward kernel.
+    feat = jnp.asarray(rng.randn(a.batch, *ucfg.feat_shape), jnp.float32)
+
+    def probe_loss(params):
+        out = head.apply({**hvars, "params": params}, feat,
+                         deterministic=True, use_running_average=True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    grads = jax.jit(jax.grad(probe_loss))(hvars["params"])
+    if a.grad_out:
+        flat = {jax.tree_util.keystr(p): np.asarray(v, np.float32)
+                for p, v in jax.tree_util.tree_flatten_with_path(grads)[0]}
+        np.savez(a.grad_out, **flat)
+
     losses = []
     key = jax.random.PRNGKey(7)
     for i in range(a.steps):
@@ -93,12 +110,14 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--grad_out", type=str, default=None)
     p.add_argument("--child", action="store_true")
     a = p.parse_args()
     if a.child:
         child(a)
         return
 
+    import numpy as np
     runs = {}
     for disable in (False, True):
         env = dict(os.environ)
@@ -106,8 +125,10 @@ def main() -> None:
             env["NLC_DISABLE_PALLAS_ATTN"] = "1"
         else:
             env.pop("NLC_DISABLE_PALLAS_ATTN", None)
+        gout = f"/tmp/attn_bwd_grads_{'xla' if disable else 'pallas'}.npz"
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
-               "--steps", str(a.steps), "--batch", str(a.batch)]
+               "--steps", str(a.steps), "--batch", str(a.batch),
+               "--grad_out", gout]
         if a.platform:
             cmd += ["--platform", a.platform]
         cp = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -115,8 +136,10 @@ def main() -> None:
         line = [l for l in cp.stdout.splitlines() if l.startswith("{")]
         assert cp.returncode == 0 and line, (cp.returncode, cp.stderr[-2000:])
         runs[disable] = json.loads(line[-1])
+        runs[disable]["grad_file"] = gout
         print("run", "xla" if disable else "default", "->",
-              json.dumps(runs[disable]), flush=True)
+              json.dumps({k: v for k, v in runs[disable].items()
+                          if k != "grad_file"}), flush=True)
 
     on, off = runs[False], runs[True]
     assert off["path_counts"]["pallas_bwd"] == 0
@@ -125,19 +148,36 @@ def main() -> None:
         # the enabled run must have staged the Pallas fwd AND bwd
         assert on["path_counts"]["pallas_bwd"] > 0, on["path_counts"]
         assert on["path_counts"]["pallas_fwd"] > 0, on["path_counts"]
+
+    # (1) THE correctness check: one backward, leaf-for-leaf gradients.
+    gp, gx = (np.load(on["grad_file"]), np.load(off["grad_file"]))
+    assert set(gp.files) == set(gx.files)
+    grad_rel = 0.0
+    for kk in gp.files:
+        scale = float(np.abs(gx[kk]).max()) or 1.0
+        grad_rel = max(grad_rel, float(np.abs(gp[kk] - gx[kk]).max()) / scale)
+    grad_tol = 1e-2 if tpu else 1e-12   # MXU rounding vs identical graphs
+
+    # (2) sanity: 20 compounding optimizer steps stay on the same
+    # trajectory. Kernel-order rounding (~1e-3/step) compounds chaotically
+    # through Adam's sign-like step-1 updates, so this bound is loose by
+    # design — the measured worst on the chip was 9.9e-3 (logs/r3) while
+    # the single-backward gradients matched; 5% catches real divergence.
     lo, lx = on["losses"], off["losses"]
-    # trajectories must track: same arithmetic up to kernel-order rounding
     worst = max(abs(p - q) / max(abs(q), 1e-8) for p, q in zip(lo, lx))
+    traj_tol = 5e-2 if tpu else 1e-12
     print(json.dumps({
         "check": "pallas-attn-bwd-training",
         "platform": on["platform"],
         "pallas_bwd_staged": on["path_counts"]["pallas_bwd"],
+        "grad_max_rel_diff": grad_rel,
         "steps": len(lo),
         "final_loss_pallas": lo[-1], "final_loss_xla": lx[-1],
         "worst_rel_step_diff": worst,
-        "ok": bool(worst < (5e-3 if tpu else 1e-12)),
+        "ok": bool(grad_rel < grad_tol and worst < traj_tol),
     }), flush=True)
-    assert worst < (5e-3 if tpu else 1e-12), worst
+    assert grad_rel < grad_tol, grad_rel
+    assert worst < traj_tol, worst
 
 
 if __name__ == "__main__":
