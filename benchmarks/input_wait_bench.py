@@ -6,6 +6,9 @@ pipeline (synthetic image content, real decode/crop/augment host path), once
 with the synchronous loader and once with prefetch_mode: cpu
 (restoration/prefetch.py, reference basicsr/data/prefetch_dataloader.py),
 and prints one JSON line per run with imgs/sec and input_wait_frac.
+Round-3 addition: a sync+native row measuring the C++ paired loader
+(native/image_loader.cpp nlc_load_paired_batch) — on few-core hosts the
+GIL-free decode is the fix, not thread overlap.
 
 Usage: python benchmarks/input_wait_bench.py [--iters N] [--batch B]
        [--width W] [--size S] [--n_images K]
@@ -44,7 +47,7 @@ def make_dataset(root: str, n: int, size: int) -> None:
         Image.fromarray(noisy).save(os.path.join(lq_dir, f"{i:04d}.png"))
 
 
-def run(root: str, a, prefetch: bool) -> dict:
+def run(root: str, a, prefetch: bool, native: bool = False) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -67,7 +70,7 @@ def run(root: str, a, prefetch: bool) -> dict:
                             dataroot_lq=os.path.join(root, "lq"),
                             gt_size=a.size, scale=1, phase="train",
                             use_flip=True, use_rot=True)
-    it = paired_loader(ds, a.batch, infinite=True)
+    it = paired_loader(ds, a.batch, infinite=True, native=native)
     dopt = {"prefetch_mode": "cpu", "num_prefetch_queue": 4} if prefetch else {}
     it, loader = wrap_prefetch(it, dopt)
 
@@ -94,7 +97,8 @@ def run(root: str, a, prefetch: bool) -> dict:
     np.asarray(loss)  # host fetch fences the whole measured span
     elapsed = time.perf_counter() - t0
     return {
-        "mode": "prefetch-cpu" if prefetch else "sync",
+        "mode": ("prefetch-cpu" if prefetch else "sync")
+                + ("+native" if native else "+pil"),
         "imgs_per_sec": round(a.iters * a.batch / elapsed, 2),
         "sec_per_iter": round(elapsed / a.iters, 4),
         "input_wait_frac": round(input_wait / elapsed, 4),
@@ -120,8 +124,12 @@ def main():
         print(f"generating {a.n_images} paired {a.size}^2 PNGs...",
               file=sys.stderr, flush=True)
         make_dataset(root, a.n_images, a.size)
-        for prefetch in (False, True):
-            r = run(root, a, prefetch)
+        # (sync, PIL) is the reference-parity baseline; (sync, native) is
+        # the GIL-free C++ fast path (the fix that works on few-core
+        # hosts); (prefetch, native) shows whether thread-overlap adds
+        # anything on top of it on THIS host (on 1 core it cannot).
+        for prefetch, native in ((False, False), (False, True), (True, True)):
+            r = run(root, a, prefetch, native)
             print(json.dumps(r), flush=True)
 
 

@@ -193,6 +193,63 @@ void process_one(const char* path, int resolution, int random_crop,
     *ok_flag = 1;
 }
 
+// Paired restoration loading (reference basicsr/data/paired_image_dataset.py
+// semantics): decode lq+gt at NATIVE scale — no resize, the lq/gt degradation
+// relationship must survive — take a paired random crop (lq_patch at
+// (top,left) in lq coords, gt crop of lq_patch*scale at the scaled offset),
+// and apply the same flip/rot draw to both. Output float32 [0,1] (the
+// restoration convention, vs [-1,1] for the diffusion loader above).
+void process_pair(const char* lq_path, const char* gt_path, int lq_patch,
+                  int scale, int use_flip, int use_rot, uint64_t seed,
+                  float* lq_out, float* gt_out, int* ok_flag) {
+    auto dec = [](const char* p) {
+        return has_suffix(p, ".png") ? decode_png(p)
+               : has_suffix(p, ".jpg", ".jpeg") ? decode_jpeg(p) : Image{};
+    };
+    Image lq = dec(lq_path), gt = dec(gt_path);
+    int gt_patch = lq_patch * scale;
+    size_t lq_px = (size_t)lq_patch * lq_patch * 3;
+    size_t gt_px = (size_t)gt_patch * gt_patch * 3;
+    if (!lq.ok || !gt.ok || lq.w < lq_patch || lq.h < lq_patch ||
+        gt.w < lq.w * scale || gt.h < lq.h * scale) {
+        *ok_flag = 0;
+        memset(lq_out, 0, sizeof(float) * lq_px);
+        memset(gt_out, 0, sizeof(float) * gt_px);
+        return;
+    }
+    uint64_t rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    auto draw = [&rng](uint64_t m) {
+        rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
+        return (int)((rng >> 33) % m);
+    };
+    int top = draw((uint64_t)(lq.h - lq_patch + 1));
+    int left = draw((uint64_t)(lq.w - lq_patch + 1));
+    int hflip = use_flip ? draw(2) : 0;
+    int vflip = use_rot ? draw(2) : 0;
+    int transp = use_rot ? draw(2) : 0;
+    // out(y,x) after [hflip, vflip, transpose] applied in sequence reads
+    // source (a,b): (a,b) = transp ? (x,y) : (y,x); vflip: a = P-1-a;
+    // hflip: b = P-1-b  (matches restoration/data.py paired_augment)
+    auto emit = [&](const Image& img, int t0, int l0, int patch, float* out) {
+        for (int y = 0; y < patch; y++) {
+            for (int x = 0; x < patch; x++) {
+                int a = transp ? x : y, b = transp ? y : x;
+                if (vflip) a = patch - 1 - a;
+                if (hflip) b = patch - 1 - b;
+                const uint8_t* s =
+                    &img.data[(((size_t)(t0 + a) * img.w) + l0 + b) * 3];
+                float* d = out + ((size_t)y * patch + x) * 3;
+                d[0] = s[0] / 255.0f;
+                d[1] = s[1] / 255.0f;
+                d[2] = s[2] / 255.0f;
+            }
+        }
+    };
+    emit(lq, top, left, lq_patch, lq_out);
+    emit(gt, top * scale, left * scale, gt_patch, gt_out);
+    *ok_flag = 1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -211,6 +268,35 @@ int nlc_load_batch(const char** paths, int n, int resolution, int random_crop,
             process_one(paths[i], resolution, random_crop, seed + (uint64_t)i,
                         out + (size_t)i * resolution * resolution * 3,
                         ok_flags + i);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads - 1; t++) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+    int ok = 0;
+    for (int i = 0; i < n; i++) ok += ok_flags[i];
+    return ok;
+}
+
+// Paired batch: fills lq_out (N, P, P, 3) and gt_out (N, P*scale, P*scale, 3)
+// float32 [0,1]. Returns number of successfully loaded pairs.
+int nlc_load_paired_batch(const char** lq_paths, const char** gt_paths, int n,
+                          int lq_patch, int scale, int use_flip, int use_rot,
+                          uint64_t seed, int num_threads,
+                          float* lq_out, float* gt_out, int* ok_flags) {
+    if (num_threads < 1) num_threads = 1;
+    int gt_patch = lq_patch * scale;
+    std::atomic<int> next(0);
+    auto worker = [&]() {
+        while (true) {
+            int i = next.fetch_add(1);
+            if (i >= n) break;
+            process_pair(lq_paths[i], gt_paths[i], lq_patch, scale, use_flip,
+                         use_rot, seed + (uint64_t)i,
+                         lq_out + (size_t)i * lq_patch * lq_patch * 3,
+                         gt_out + (size_t)i * gt_patch * gt_patch * 3,
+                         ok_flags + i);
         }
     };
     std::vector<std::thread> threads;

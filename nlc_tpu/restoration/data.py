@@ -155,6 +155,28 @@ class PairedImageDataset:
             gt, lq = paired_augment(gt, lq, self.use_flip, self.use_rot, self.rng)
         return lq.copy(), gt.copy()
 
+    def native_batch(self, indices, seed: int):
+        """C++ fast path (native/image_loader.cpp nlc_load_paired_batch):
+        decode + paired crop + paired flip/rot for a whole batch on the
+        thread pool, off the GIL — same semantics as __getitem__ (different
+        RNG draws). Returns (lq, gt) stacks, or None when ineligible
+        (eval phase, lmdb roots, toolchain absent) or when any member
+        failed to decode natively (caller falls back to the PIL path)."""
+        if self.phase != "train" or self.gt_root.is_lmdb \
+                or self.lq_root.is_lmdb:
+            return None
+        from ..native import native_available, load_paired_batch
+        if not native_available():
+            return None
+        lqp = [self.lq_root.name_of(self.stems[i]) for i in indices]
+        gtp = [self.gt_root.name_of(self.stems[i]) for i in indices]
+        lq, gt, ok = load_paired_batch(
+            lqp, gtp, self.gt_size // self.scale, self.scale,
+            self.use_flip, self.use_rot, seed)
+        if not ok.all():
+            return None
+        return lq, gt
+
 
 class SyntheticPairedDataset:
     """Smoke-mode pairs: gt random smooth image, lq = noisy version."""
@@ -176,17 +198,31 @@ class SyntheticPairedDataset:
 
 
 def paired_loader(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
-                  enlarge_ratio: int = 1, infinite: bool = False
+                  enlarge_ratio: int = 1, infinite: bool = False,
+                  native: bool = True
                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """EnlargedSampler semantics: the virtual epoch is enlarge_ratio x the
-    dataset (reference data_sampler.py)."""
+    dataset (reference data_sampler.py). When the dataset exposes a
+    `native_batch` fast path (C++ decode off the GIL — matters doubly on
+    few-core hosts, where a Python decode thread contends with the training
+    loop), batches go through it, falling back per-batch to the per-item
+    Python path."""
     rng = np.random.RandomState(seed)
+    nb = getattr(dataset, "native_batch", None) if native else None
+    batch_seed = seed
     while True:
         idx = np.tile(np.arange(len(dataset)), enlarge_ratio)
         if shuffle:
             rng.shuffle(idx)
         for i in range(0, len(idx) - batch_size + 1, batch_size):
-            lqs, gts = zip(*(dataset[int(j)] for j in idx[i:i + batch_size]))
+            take = [int(j) for j in idx[i:i + batch_size]]
+            if nb is not None:
+                batch_seed += len(take)  # fresh per-image crop/flip draws
+                r = nb(take, batch_seed)
+                if r is not None:
+                    yield r
+                    continue
+            lqs, gts = zip(*(dataset[j] for j in take))
             yield np.stack(lqs), np.stack(gts)
         if not infinite:
             return

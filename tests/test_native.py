@@ -107,3 +107,63 @@ def test_load_training_data_rejects_sub_batch_dataset(tmp_path):
                                            image_size=16, shard=0,
                                            num_shards=1))
     assert imgs.shape == (8, 16, 16, 3)
+
+
+def test_native_paired_loader_alignment(tmp_path):
+    """nlc_load_paired_batch (native/image_loader.cpp): lq and gt must get
+    the SAME crop offset (scaled) and the SAME flip/rot draw — coordinate-
+    encoded images make misalignment visible as a nonzero channel diff.
+    Also: deterministic per seed, and the restoration [0,1] range."""
+    import numpy as np
+    from PIL import Image
+    from nlc_tpu.native import native_available, load_paired_batch
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    H = W = 48
+    yy, xx = np.mgrid[0:H * 2, 0:W * 2]
+    gt = np.stack([yy // 2, xx // 2, np.zeros_like(yy)], -1).astype(np.uint8)
+    lq = np.stack([yy[:H, :W], xx[:H, :W], np.full((H, W), 7)],
+                  -1).astype(np.uint8)
+    Image.fromarray(gt).save(tmp_path / "a_gt.png")
+    Image.fromarray(lq).save(tmp_path / "a_lq.png")
+    lqb, gtb, ok = load_paired_batch(
+        [str(tmp_path / "a_lq.png")], [str(tmp_path / "a_gt.png")],
+        16, 2, use_flip=True, use_rot=True, seed=3)
+    assert ok.all()
+    assert lqb.shape == (1, 16, 16, 3) and gtb.shape == (1, 32, 32, 3)
+    assert lqb.min() >= 0.0 and lqb.max() <= 1.0
+    # gt's coordinate channels, downsampled 2x, must equal lq's exactly
+    err = np.abs(gtb[0][::2, ::2, :2] - lqb[0][..., :2]).max() * 255
+    assert err < 1.0, err
+    lqb2, gtb2, _ = load_paired_batch(
+        [str(tmp_path / "a_lq.png")], [str(tmp_path / "a_gt.png")],
+        16, 2, use_flip=True, use_rot=True, seed=3)
+    assert np.array_equal(lqb, lqb2) and np.array_equal(gtb, gtb2)
+
+
+def test_paired_loader_native_path_matches_semantics(tmp_path):
+    """paired_loader(native=True) must yield batches with the same shapes,
+    range and pairing property as the per-item PIL path, and fall back
+    cleanly when a member can't decode natively."""
+    import numpy as np
+    from PIL import Image
+    from nlc_tpu.restoration.data import PairedImageDataset, paired_loader
+    gt_dir, lq_dir = tmp_path / "gt", tmp_path / "lq"
+    gt_dir.mkdir(); lq_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        img = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(gt_dir / f"{i}.png")
+        Image.fromarray(255 - img).save(lq_dir / f"{i}.png")
+    ds = PairedImageDataset(dataroot_gt=str(gt_dir), dataroot_lq=str(lq_dir),
+                            gt_size=16, scale=1, phase="train")
+    lq, gt = next(paired_loader(ds, 4, native=True))
+    assert lq.shape == gt.shape == (4, 16, 16, 3)
+    assert lq.dtype == np.float32 and 0.0 <= lq.min() and lq.max() <= 1.0
+    # pairing property of this dataset: lq == 1 - gt at every pixel, which
+    # survives only if crop+augment were applied identically to both
+    np.testing.assert_allclose(lq, 1.0 - gt, atol=2 / 255)
+    # python path yields the same invariant
+    lq2, gt2 = next(paired_loader(ds, 4, native=False))
+    np.testing.assert_allclose(lq2, 1.0 - gt2, atol=2 / 255)
