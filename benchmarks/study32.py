@@ -61,6 +61,13 @@ SWEEP_GRID = [          # (steps, style, quant) — style pairs per engine/edm.p
     (18, "pred_fast,pred_fast", ""),
     (5, "pred_fast,pred_fast", ""),
     (5, "pred_fast,pred_fast", "conv"),
+    # round-3 boundary bisection: 18-step pred_fast beat 'pred' (6.66 vs
+    # 7.56) while 5-step collapsed (93.9 vs 13.3) — locate where the
+    # eps-at-uncorrected-t approximation stops being quality-safe.
+    (10, "pred_partial,pred", ""),
+    (10, "pred_fast,pred_fast", ""),
+    (8, "pred_partial,pred", ""),
+    (8, "pred_fast,pred_fast", ""),
 ]
 
 
