@@ -47,7 +47,8 @@ def make_dataset(root: str, n: int, size: int) -> None:
         Image.fromarray(noisy).save(os.path.join(lq_dir, f"{i:04d}.png"))
 
 
-def run(root: str, a, prefetch: bool, native: bool = False) -> dict:
+def run(root: str, a, prefetch: bool, native: bool = False,
+        u8: bool = False) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -70,7 +71,8 @@ def run(root: str, a, prefetch: bool, native: bool = False) -> dict:
                             dataroot_lq=os.path.join(root, "lq"),
                             gt_size=a.size, scale=1, phase="train",
                             use_flip=True, use_rot=True)
-    it = paired_loader(ds, a.batch, infinite=True, native=native)
+    it = paired_loader(ds, a.batch, infinite=True, native=native,
+                       native_dtype="uint8" if u8 else "float32")
     dopt = {"prefetch_mode": "cpu", "num_prefetch_queue": 4} if prefetch else {}
     it, loader = wrap_prefetch(it, dopt)
 
@@ -98,7 +100,7 @@ def run(root: str, a, prefetch: bool, native: bool = False) -> dict:
     elapsed = time.perf_counter() - t0
     return {
         "mode": ("prefetch-cpu" if prefetch else "sync")
-                + ("+native" if native else "+pil"),
+                + ("+native" if native else "+pil") + ("-u8" if u8 else ""),
         "imgs_per_sec": round(a.iters * a.batch / elapsed, 2),
         "sec_per_iter": round(elapsed / a.iters, 4),
         "input_wait_frac": round(input_wait / elapsed, 4),
@@ -124,12 +126,16 @@ def main():
         print(f"generating {a.n_images} paired {a.size}^2 PNGs...",
               file=sys.stderr, flush=True)
         make_dataset(root, a.n_images, a.size)
-        # (sync, PIL) is the reference-parity baseline; (sync, native) is
-        # the GIL-free C++ fast path (the fix that works on few-core
-        # hosts); (prefetch, native) shows whether thread-overlap adds
-        # anything on top of it on THIS host (on 1 core it cannot).
-        for prefetch, native in ((False, False), (False, True), (True, True)):
-            r = run(root, a, prefetch, native)
+        # (sync, PIL) is the reference-parity baseline; (sync, native) the
+        # GIL-free C++ decode; the -u8 rows ship raw bytes and normalize
+        # on-device (4x smaller transfers — the host-work fix that holds
+        # even on 1-core hosts, where thread overlap measurably cannot);
+        # the prefetch row measures overlap on top.
+        for prefetch, native, u8 in ((False, False, False),
+                                     (False, True, False),
+                                     (False, True, True),
+                                     (True, True, True)):
+            r = run(root, a, prefetch, native, u8)
             print(json.dumps(r), flush=True)
 
 

@@ -52,8 +52,8 @@ def _load():
         lib.nlc_load_paired_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_int)]
         lib.nlc_save_batch.restype = ctypes.c_int
         lib.nlc_save_batch.argtypes = [
@@ -91,30 +91,37 @@ def load_batch(paths: Sequence[str], resolution: int, random_crop: bool = False,
 def load_paired_batch(lq_paths: Sequence[str], gt_paths: Sequence[str],
                       lq_patch: int, scale: int = 1, use_flip: bool = True,
                       use_rot: bool = True, seed: int = 0,
-                      num_threads: Optional[int] = None
+                      num_threads: Optional[int] = None,
+                      dtype: str = "float32",
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Paired restoration batch at native scale (no resize): same random
     crop offset and flip/rot draw for each lq/gt pair.
 
-    -> (lq (N, P, P, 3), gt (N, P*scale, P*scale, 3) float32 [0,1],
+    dtype="uint8" keeps raw pixel bytes (4x smaller host->device
+    transfers; the training step normalizes on-device), "float32"
+    emits [0,1].
+
+    -> (lq (N, P, P, 3), gt (N, P*scale, P*scale, 3),
         ok flags (N,) bool)."""
     lib = _load()
     assert lib is not None, "native loader unavailable"
+    assert dtype in ("float32", "uint8"), dtype
     n = len(lq_paths)
     assert len(gt_paths) == n
     if num_threads is None:
         num_threads = min(os.cpu_count() or 1, 16)
     gt_patch = lq_patch * scale
-    lq_out = np.empty((n, lq_patch, lq_patch, 3), np.float32)
-    gt_out = np.empty((n, gt_patch, gt_patch, 3), np.float32)
+    np_dt = np.uint8 if dtype == "uint8" else np.float32
+    lq_out = np.empty((n, lq_patch, lq_patch, 3), np_dt)
+    gt_out = np.empty((n, gt_patch, gt_patch, 3), np_dt)
     ok = np.zeros(n, np.int32)
     lq_arr = (ctypes.c_char_p * n)(*[p.encode() for p in lq_paths])
     gt_arr = (ctypes.c_char_p * n)(*[p.encode() for p in gt_paths])
     lib.nlc_load_paired_batch(
         lq_arr, gt_arr, n, lq_patch, int(scale), int(use_flip), int(use_rot),
-        ctypes.c_uint64(seed), num_threads,
-        lq_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        gt_out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        int(dtype == "uint8"), ctypes.c_uint64(seed), num_threads,
+        lq_out.ctypes.data_as(ctypes.c_void_p),
+        gt_out.ctypes.data_as(ctypes.c_void_p),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
     return lq_out, gt_out, ok.astype(bool)
 

@@ -200,8 +200,8 @@ void process_one(const char* path, int resolution, int random_crop,
 // and apply the same flip/rot draw to both. Output float32 [0,1] (the
 // restoration convention, vs [-1,1] for the diffusion loader above).
 void process_pair(const char* lq_path, const char* gt_path, int lq_patch,
-                  int scale, int use_flip, int use_rot, uint64_t seed,
-                  float* lq_out, float* gt_out, int* ok_flag) {
+                  int scale, int use_flip, int use_rot, int emit_u8,
+                  uint64_t seed, void* lq_out, void* gt_out, int* ok_flag) {
     auto dec = [](const char* p) {
         return has_suffix(p, ".png") ? decode_png(p)
                : has_suffix(p, ".jpg", ".jpeg") ? decode_jpeg(p) : Image{};
@@ -210,11 +210,12 @@ void process_pair(const char* lq_path, const char* gt_path, int lq_patch,
     int gt_patch = lq_patch * scale;
     size_t lq_px = (size_t)lq_patch * lq_patch * 3;
     size_t gt_px = (size_t)gt_patch * gt_patch * 3;
+    size_t elt = emit_u8 ? sizeof(uint8_t) : sizeof(float);
     if (!lq.ok || !gt.ok || lq.w < lq_patch || lq.h < lq_patch ||
         gt.w < lq.w * scale || gt.h < lq.h * scale) {
         *ok_flag = 0;
-        memset(lq_out, 0, sizeof(float) * lq_px);
-        memset(gt_out, 0, sizeof(float) * gt_px);
+        memset(lq_out, 0, elt * lq_px);
+        memset(gt_out, 0, elt * gt_px);
         return;
     }
     uint64_t rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
@@ -230,23 +231,58 @@ void process_pair(const char* lq_path, const char* gt_path, int lq_patch,
     // out(y,x) after [hflip, vflip, transpose] applied in sequence reads
     // source (a,b): (a,b) = transp ? (x,y) : (y,x); vflip: a = P-1-a;
     // hflip: b = P-1-b  (matches restoration/data.py paired_augment)
-    auto emit = [&](const Image& img, int t0, int l0, int patch, float* out) {
+    // typed emit loops: writing through void* per pixel defeats
+    // vectorization (measured 10x on the float path) — resolve the dtype
+    // once and keep the inner loops on typed pointers with row fast paths
+    bool ident = !hflip && !vflip && !transp;
+    auto src_at = [&](const Image& img, int t0, int l0, int patch,
+                      int y, int x) -> const uint8_t* {
+        int a = transp ? x : y, b = transp ? y : x;
+        if (vflip) a = patch - 1 - a;
+        if (hflip) b = patch - 1 - b;
+        return &img.data[(((size_t)(t0 + a) * img.w) + l0 + b) * 3];
+    };
+    auto emit_u8_fn = [&](const Image& img, int t0, int l0, int patch,
+                          uint8_t* out) {
         for (int y = 0; y < patch; y++) {
+            if (ident) {
+                memcpy(out + (size_t)y * patch * 3,
+                       &img.data[(((size_t)(t0 + y) * img.w) + l0) * 3],
+                       (size_t)patch * 3);
+                continue;
+            }
             for (int x = 0; x < patch; x++) {
-                int a = transp ? x : y, b = transp ? y : x;
-                if (vflip) a = patch - 1 - a;
-                if (hflip) b = patch - 1 - b;
-                const uint8_t* s =
-                    &img.data[(((size_t)(t0 + a) * img.w) + l0 + b) * 3];
-                float* d = out + ((size_t)y * patch + x) * 3;
-                d[0] = s[0] / 255.0f;
-                d[1] = s[1] / 255.0f;
-                d[2] = s[2] / 255.0f;
+                const uint8_t* s = src_at(img, t0, l0, patch, y, x);
+                uint8_t* d = out + ((size_t)y * patch + x) * 3;
+                d[0] = s[0]; d[1] = s[1]; d[2] = s[2];
             }
         }
     };
-    emit(lq, top, left, lq_patch, lq_out);
-    emit(gt, top * scale, left * scale, gt_patch, gt_out);
+    auto emit_f32 = [&](const Image& img, int t0, int l0, int patch,
+                        float* out) {
+        const float inv = 1.0f / 255.0f;
+        for (int y = 0; y < patch; y++) {
+            if (ident) {
+                const uint8_t* s =
+                    &img.data[(((size_t)(t0 + y) * img.w) + l0) * 3];
+                float* d = out + (size_t)y * patch * 3;
+                for (int i = 0; i < patch * 3; i++) d[i] = s[i] * inv;
+                continue;
+            }
+            for (int x = 0; x < patch; x++) {
+                const uint8_t* s = src_at(img, t0, l0, patch, y, x);
+                float* d = out + ((size_t)y * patch + x) * 3;
+                d[0] = s[0] * inv; d[1] = s[1] * inv; d[2] = s[2] * inv;
+            }
+        }
+    };
+    if (emit_u8) {
+        emit_u8_fn(lq, top, left, lq_patch, (uint8_t*)lq_out);
+        emit_u8_fn(gt, top * scale, left * scale, gt_patch, (uint8_t*)gt_out);
+    } else {
+        emit_f32(lq, top, left, lq_patch, (float*)lq_out);
+        emit_f32(gt, top * scale, left * scale, gt_patch, (float*)gt_out);
+    }
     *ok_flag = 1;
 }
 
@@ -283,19 +319,20 @@ int nlc_load_batch(const char** paths, int n, int resolution, int random_crop,
 // float32 [0,1]. Returns number of successfully loaded pairs.
 int nlc_load_paired_batch(const char** lq_paths, const char** gt_paths, int n,
                           int lq_patch, int scale, int use_flip, int use_rot,
-                          uint64_t seed, int num_threads,
-                          float* lq_out, float* gt_out, int* ok_flags) {
+                          int emit_u8, uint64_t seed, int num_threads,
+                          void* lq_out, void* gt_out, int* ok_flags) {
     if (num_threads < 1) num_threads = 1;
     int gt_patch = lq_patch * scale;
+    size_t elt = emit_u8 ? sizeof(uint8_t) : sizeof(float);
     std::atomic<int> next(0);
     auto worker = [&]() {
         while (true) {
             int i = next.fetch_add(1);
             if (i >= n) break;
             process_pair(lq_paths[i], gt_paths[i], lq_patch, scale, use_flip,
-                         use_rot, seed + (uint64_t)i,
-                         lq_out + (size_t)i * lq_patch * lq_patch * 3,
-                         gt_out + (size_t)i * gt_patch * gt_patch * 3,
+                         use_rot, emit_u8, seed + (uint64_t)i,
+                         (uint8_t*)lq_out + elt * i * lq_patch * lq_patch * 3,
+                         (uint8_t*)gt_out + elt * i * gt_patch * gt_patch * 3,
                          ok_flags + i);
         }
     };

@@ -155,7 +155,7 @@ class PairedImageDataset:
             gt, lq = paired_augment(gt, lq, self.use_flip, self.use_rot, self.rng)
         return lq.copy(), gt.copy()
 
-    def native_batch(self, indices, seed: int):
+    def native_batch(self, indices, seed: int, dtype: str = "float32"):
         """C++ fast path (native/image_loader.cpp nlc_load_paired_batch):
         decode + paired crop + paired flip/rot for a whole batch on the
         thread pool, off the GIL — same semantics as __getitem__ (different
@@ -172,7 +172,7 @@ class PairedImageDataset:
         gtp = [self.gt_root.name_of(self.stems[i]) for i in indices]
         lq, gt, ok = load_paired_batch(
             lqp, gtp, self.gt_size // self.scale, self.scale,
-            self.use_flip, self.use_rot, seed)
+            self.use_flip, self.use_rot, seed, dtype=dtype)
         if not ok.all():
             return None
         return lq, gt
@@ -199,14 +199,17 @@ class SyntheticPairedDataset:
 
 def paired_loader(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
                   enlarge_ratio: int = 1, infinite: bool = False,
-                  native: bool = True
+                  native: bool = True, native_dtype: str = "float32"
                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """EnlargedSampler semantics: the virtual epoch is enlarge_ratio x the
     dataset (reference data_sampler.py). When the dataset exposes a
     `native_batch` fast path (C++ decode off the GIL — matters doubly on
     few-core hosts, where a Python decode thread contends with the training
     loop), batches go through it, falling back per-batch to the per-item
-    Python path."""
+    Python path. native_dtype="uint8" ships raw pixel bytes (4x smaller
+    host->device transfers; RestorationModel.train_step normalizes
+    on-device); fallback batches are float32, which the step also
+    accepts."""
     rng = np.random.RandomState(seed)
     nb = getattr(dataset, "native_batch", None) if native else None
     batch_seed = seed
@@ -218,7 +221,7 @@ def paired_loader(dataset, batch_size: int, shuffle: bool = True, seed: int = 0,
             take = [int(j) for j in idx[i:i + batch_size]]
             if nb is not None:
                 batch_seed += len(take)  # fresh per-image crop/flip draws
-                r = nb(take, batch_seed)
+                r = nb(take, batch_seed, native_dtype)
                 if r is not None:
                     yield r
                     continue

@@ -139,6 +139,13 @@ class RestorationModel:
     def train_step(self, state: RestorationTrainState, lq, gt, key):
         if self._jit_step is None:
             def step_fn(state, lq, gt, key, lr_mult):
+                # uint8 batches normalize on-device: the host ships 4x
+                # fewer bytes and the /255 fuses into the first conv
+                # (round-3 input-wait measurement, logs/r3/input_wait2.log)
+                if lq.dtype == jnp.uint8:
+                    lq = lq.astype(jnp.float32) / 255.0
+                if gt.dtype == jnp.uint8:
+                    gt = gt.astype(jnp.float32) / 255.0
                 if self.mixup:
                     lam = jax.random.beta(key, 1.2, 1.2)
                     perm = jax.random.permutation(jax.random.fold_in(key, 1),

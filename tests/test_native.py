@@ -167,3 +167,50 @@ def test_paired_loader_native_path_matches_semantics(tmp_path):
     # python path yields the same invariant
     lq2, gt2 = next(paired_loader(ds, 4, native=False))
     np.testing.assert_allclose(lq2, 1.0 - gt2, atol=2 / 255)
+
+
+def test_paired_loader_uint8_mode_equivalence(tmp_path):
+    """uint8 native batches must carry the same pixels as float32 ones
+    (just unscaled), and RestorationModel.train_step must produce the
+    same loss from either dtype — the /255 moves on-device, not away."""
+    import numpy as np
+    import jax
+    from PIL import Image
+    from nlc_tpu.restoration.data import PairedImageDataset, paired_loader
+    from nlc_tpu.native import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    gt_dir, lq_dir = tmp_path / "gt", tmp_path / "lq"
+    gt_dir.mkdir(); lq_dir.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(4):
+        img = (rng.rand(24, 24, 3) * 255).astype(np.uint8)
+        Image.fromarray(img).save(gt_dir / f"{i}.png")
+        Image.fromarray(255 - img).save(lq_dir / f"{i}.png")
+    ds = PairedImageDataset(dataroot_gt=str(gt_dir), dataroot_lq=str(lq_dir),
+                            gt_size=16, scale=1, phase="train")
+    lq8, gt8 = next(paired_loader(ds, 4, native_dtype="uint8"))
+    assert lq8.dtype == np.uint8
+    lqf, gtf = next(paired_loader(ds, 4, native_dtype="float32"))
+    # same seeds -> same crops/draws -> identical pixels modulo scaling
+    np.testing.assert_allclose(lq8 / 255.0, lqf, atol=1e-6)
+    np.testing.assert_allclose(gt8 / 255.0, gtf, atol=1e-6)
+
+    from nlc_tpu.restoration.model import RestorationModel
+    opt = {"name": "t", "manual_seed": 0,
+           "network_g": {"type": "NAFNet", "width": 4, "middle_blk_num": 1,
+                         "enc_blk_nums": [1], "dec_blk_nums": [1]},
+           "train": {"total_iter": 2, "pixel_opt": {"type": "PSNRLoss"},
+                     "optim_g": {"lr": 1e-3},
+                     "scheduler": {"type": "LinearLR", "total_iter": 2}},
+           "path": {}}
+    import jax.numpy as jnp
+    model = RestorationModel(opt)
+    state = model.init_state(jnp.zeros((1, 16, 16, 3)))
+    k = jax.random.PRNGKey(0)
+    _, loss8 = model.train_step(state, jnp.asarray(lq8), jnp.asarray(gt8), k)
+    model2 = RestorationModel(opt)
+    state2 = model2.init_state(jnp.zeros((1, 16, 16, 3)))
+    _, lossf = model2.train_step(state2, jnp.asarray(lqf), jnp.asarray(gtf), k)
+    np.testing.assert_allclose(float(loss8), float(lossf), rtol=1e-5)
