@@ -95,7 +95,7 @@ def main(opt):
     state = model.init_state(jnp.zeros((1,) + lq0.shape))
     resume_path = opt.get("path", {}).get("resume_state")
     if resume_path and os.path.exists(resume_path):
-        state = model.resume(resume_path)
+        state = model.resume(resume_path, template=state)
         logger.log("resumed from", resume_path, "at step", int(state.step))
 
     total_iter = opt.get("train", {}).get("total_iter", 1000)
@@ -106,13 +106,22 @@ def main(opt):
     key = jax.random.PRNGKey(opt.get("manual_seed", 0))
     t0 = time.time()
     input_wait = 0.0  # host time blocked waiting for the next batch
-    while int(state.step) < total_iter:
+    # step is tracked on the HOST (one fetch at entry supports resume):
+    # fetching state.step every iteration forces 2 device round-trips per
+    # step, which on the tunneled backend serializes dispatch against the
+    # ~28 ms round trip (same fix as train/edm_training.py). Between
+    # print/val/save points, fence every 32 steps so the async dispatch
+    # queue stays bounded.
+    it = int(state.step)
+    while it < total_iter:
         tw = time.perf_counter()
         lq, gt = next(train_iter)
         input_wait += time.perf_counter() - tw
         state, loss = model.train_step(state, jnp.asarray(lq), jnp.asarray(gt),
-                                       jax.random.fold_in(key, int(state.step)))
-        it = int(state.step)
+                                       jax.random.fold_in(key, it))
+        it += 1
+        if it % 32 == 0 and it % print_freq != 0:
+            float(loss)
         if it % print_freq == 0:
             elapsed = time.time() - t0
             frac = input_wait / max(elapsed, 1e-9)

@@ -255,8 +255,19 @@ class RestorationModel:
                      "step": np.asarray(int(state.step))},
                     os.path.join(path, f"{label}_{int(state.step)}"))
 
-    def resume(self, path: str) -> RestorationTrainState:
-        data = load_pytree(path)
+    def resume(self, path: str,
+               template: RestorationTrainState = None) -> RestorationTrainState:
+        """Pass `template` (a live state from init_state) so the optax state
+        restores into its typed NamedTuple containers — without a target,
+        orbax returns raw nested dicts and the first tx.update crashes on
+        `state.mu` (same fix as cli/edm_train.py --resume_state)."""
+        target = None
+        if template is not None:
+            target = {"params": template.params,
+                      "ema_params": template.ema_params,
+                      "opt_state": template.opt_state,
+                      "step": np.asarray(0)}
+        data = load_pytree(path, target=target)
         return RestorationTrainState(
             params=data["params"], ema_params=data["ema_params"],
             opt_state=data["opt_state"], step=jnp.asarray(int(data["step"])))

@@ -568,3 +568,42 @@ def test_train_cli_prefetch_and_wait_metric(tmp_path, capsys):
     assert int(state.step) >= 4
     cap = capsys.readouterr()
     assert "input_wait_frac" in cap.err + cap.out  # logger.log prints to stderr
+
+
+def test_train_cli_resume_typed_opt_state(tmp_path):
+    """Resuming through the CLI must restore the optax state into its typed
+    NamedTuple containers and continue stepping from the saved step — orbax
+    without a target returns raw dicts and the first tx.update crashed on
+    `state.mu` (regression; same class as the edm_train resume fix)."""
+    from nlc_tpu.cli.basicsr_train import main as train_main, parse_options
+    opt = {
+        "name": "tr", "manual_seed": 0,
+        "network_g": {"type": "NAFNet", "width": 8, "middle_blk_num": 1,
+                      "enc_blk_nums": [1], "dec_blk_nums": [1]},
+        "datasets": {"train": {"type": "synthetic", "gt_size": 16,
+                               "batch_size_per_gpu": 2}},
+        "train": {"total_iter": 4, "pixel_opt": {"type": "PSNRLoss"},
+                  "optim_g": {"lr": 1e-3},
+                  "scheduler": {"type": "LinearLR", "total_iter": 8}},
+        "logger": {"print_freq": 2, "save_checkpoint_freq": 4},
+        "path": {"experiments_root": str(tmp_path / "exp")},
+    }
+    opt_path = tmp_path / "opt.yml"
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    state, _ = train_main(parse_options(["-opt", str(opt_path)]))
+    assert int(state.step) == 4
+
+    opt["train"]["total_iter"] = 8
+    opt["path"]["resume_state"] = str(tmp_path / "exp" / "net_g_4")
+    with open(opt_path, "w") as f:
+        yaml.safe_dump(opt, f)
+    state2, _ = train_main(parse_options(["-opt", str(opt_path)]))
+    # the resumed run must take exactly 4 more steps (host `it` picks up at
+    # the restored step) and its opt_state must be the typed optax structure
+    assert int(state2.step) == 8
+    assert os.path.isdir(tmp_path / "exp" / "net_g_8")
+    import jax.tree_util as jtu
+    td_live = jtu.tree_structure(state.opt_state)
+    td_resumed = jtu.tree_structure(state2.opt_state)
+    assert td_live == td_resumed
