@@ -231,12 +231,19 @@ def main():
     }
     if prec != "bf16":
         # the baseline estimate is full-precision torch; disclose the
-        # precision delta on the headline line itself
-        result["note"] = ("W8A8 int8; FID-neutral on trained models "
-                          "(32^2 study: -0.2% at 18 steps, "
-                          "benchmarks/measurements/r3/study32) + drift "
-                          "bounds in tests/test_quant.py; NLC_BENCH_QUANT="
-                          "bf16 reproduces the unquantized loop")
+        # precision delta on the headline line itself, including exactly
+        # what the FID evidence is: fallback-embedding FID (the InceptionV3
+        # port had no real weights in this sandbox), measured at 32^2 on a
+        # 55.7M SongUNet — a different architecture/resolution than this
+        # 552M ADM 256^2 headline model, whose own int8 evidence is the
+        # trajectory-drift bounds
+        result["note"] = ("W8A8 int8; FID-neutral at 32^2 on a trained "
+                          "SongUNet (-0.2% at 18 steps, fallback-embedding "
+                          "FID — benchmarks/measurements/r3/study32); "
+                          "extrapolated to this 256^2 ADM model, where int8 "
+                          "evidence is drift bounds (tests/test_quant.py); "
+                          "NLC_BENCH_QUANT=bf16 reproduces the unquantized "
+                          "loop")
     print(json.dumps(result))
 
 

@@ -27,7 +27,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STUDY = os.environ.get("NLC_STUDY_DIR", "/root/study32")
+# default to the repo-root study32/ (gitignored) so the artifacts land where
+# tests/test_quant.py's calibration regression resolves them
+STUDY = os.environ.get(
+    "NLC_STUDY_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "study32"))
 DATA = os.path.join(STUDY, "data")
 FID_NPZ = os.path.join(STUDY, "fid.npz")
 EDM_RUN = os.path.join(STUDY, "edm")

@@ -85,8 +85,11 @@ def main(opt):
     enlarge = (dtrain or {}).get("dataset_enlarge_ratio", 1)
     # uint8 native batches: 4x smaller host->device transfers, normalized
     # inside the jitted step (measured input-wait fix, logs/r3)
+    # seed from manual_seed so augmentation draws (crop/flip) follow the
+    # config seed on the native path too, like the reference's seeded workers
     train_iter = paired_loader(train_ds, batch, enlarge_ratio=enlarge,
-                               infinite=True, native_dtype="uint8")
+                               infinite=True, native_dtype="uint8",
+                               seed=opt.get("manual_seed", 0))
     # prefetch_mode: ~|cpu|cuda — reference prefetch_dataloader.py parity;
     # 'cuda' maps to the device prefetcher (H2D overlapped with compute)
     train_iter, prefetcher = wrap_prefetch(train_iter, dtrain)
@@ -123,6 +126,11 @@ def main(opt):
         if it % 32 == 0 and it % print_freq != 0:
             float(loss)
         if it % print_freq == 0:
+            # the host-tracked counter assumes train_step advances state.step
+            # by exactly 1; any conditional-step logic added later would
+            # desync RNG fold_in and checkpoint names from the device step —
+            # assert while the device is being synced anyway
+            assert int(state.step) == it, (int(state.step), it)
             elapsed = time.time() - t0
             frac = input_wait / max(elapsed, 1e-9)
             logger.log(f"iter {it}/{total_iter} loss {float(loss):.5f} "
@@ -134,6 +142,7 @@ def main(opt):
                                      max_batches=8, step=it)
             logger.log(f"validation @ {it}: {metrics}")
         if it % save_freq == 0 or it >= total_iter:
+            assert int(state.step) == it, (int(state.step), it)
             model.save(state, exp_root)
             logger.log("saved checkpoint at", it)
     if val_ds is not None:

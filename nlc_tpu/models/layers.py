@@ -49,6 +49,9 @@ def adm_timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0
 
 
 def swish(x: jnp.ndarray) -> jnp.ndarray:
+    from ..utils.ablate import ablated
+    if ablated("swish"):   # perf itemization only (utils/ablate.py)
+        return x
     return x * jax.nn.sigmoid(x)
 
 
@@ -71,12 +74,15 @@ class GroupNorm(nn.Module):
         # full fp32 math with a cast back: measured FASTER than bf16-math
         # normalization on v5e (XLA fuses the casts into the surrounding
         # convs; bf16 rounding ops cost more than the saved bandwidth)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        from ..utils.ablate import ablated
+        if ablated("norm"):   # perf itemization only (utils/ablate.py)
+            return (x.astype(jnp.float32) * scale + bias).astype(orig_dtype)
         xg32 = x.reshape(shape).astype(jnp.float32)
         mean = xg32.mean(axis=red_axes, keepdims=True)
         var = xg32.var(axis=red_axes, keepdims=True)
         xn = (xg32 - mean) * jax.lax.rsqrt(var + self.eps)
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return (xn.reshape(x.shape) * scale + bias).astype(orig_dtype)
 
 
@@ -143,6 +149,9 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     between the two matmuls. Elsewhere (CPU tests) it uses the XLA einsum
     path — both produce identical results (covered by tests).
     """
+    from ..utils.ablate import ablated
+    if ablated("attn"):   # perf itemization only (utils/ablate.py)
+        return v
     from ..ops.attention import fused_attention
     return fused_attention(q, k, v, scale)
 

@@ -127,6 +127,16 @@ Image decode_jpeg(const char* path) {
     return img;
 }
 
+// splitmix64 finalizer: per-item seeds arrive as consecutive integers
+// (seed+i); a single LCG scramble leaves adjacent streams affinely related,
+// so finalize before any draws to decorrelate them
+static inline uint64_t mix_seed(uint64_t z) {
+    z += 0x9e3779b97f4a7c15ULL;
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+}
+
 // box-downsample by integer factor then bilinear-resize shortest side to
 // `resolution`, crop to resolution x resolution
 void process_one(const char* path, int resolution, int random_crop,
@@ -172,7 +182,7 @@ void process_one(const char* path, int resolution, int random_crop,
         }
     }
     // crop
-    uint64_t rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    uint64_t rng = mix_seed(seed);
     int max_top = nh - resolution, max_left = nw - resolution;
     int top, left;
     if (random_crop) {
@@ -218,7 +228,7 @@ void process_pair(const char* lq_path, const char* gt_path, int lq_patch,
         memset(gt_out, 0, elt * gt_px);
         return;
     }
-    uint64_t rng = seed * 6364136223846793005ULL + 1442695040888963407ULL;
+    uint64_t rng = mix_seed(seed);
     auto draw = [&rng](uint64_t m) {
         rng = rng * 6364136223846793005ULL + 1442695040888963407ULL;
         return (int)((rng >> 33) % m);

@@ -74,8 +74,14 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
     """W8A8 NHWC convolution with fp kernel input (quantized here so the
     caller's param tree stays identical to the bf16 path)."""
     wq, w_scale = quantize_symmetric(kernel.astype(jnp.float32), axis=(0, 1, 2))
-    a_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-    a_scale = jnp.maximum(a_scale, 1e-12)
+    from ..utils.ablate import ablated
+    if ablated("dyn_ascale"):   # perf itemization only (utils/ablate.py):
+        # pins the activation scale, removing the per-call absmax reduce —
+        # measures the headroom of static (calibrated) activation scales
+        a_scale = jnp.float32(0.05)
+    else:
+        a_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+        a_scale = jnp.maximum(a_scale, 1e-12)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
                   -127, 127).astype(jnp.int8)
     w_scale = w_scale.reshape(-1)

@@ -30,14 +30,42 @@ class EDMTrainConfig:
     sigma_data: float = 0.5
 
 
+def edm_sigma_regression_targets(batch_x: jnp.ndarray, sigma: jnp.ndarray,
+                                 noise: jnp.ndarray, xi: jnp.ndarray,
+                                 eta1: jnp.ndarray, eta2: jnp.ndarray,
+                                 sigma_data: float = 0.5):
+    """Pinned-draw core of train_edm's regression (reference
+    src/experiments.py:994-1002): EDM lambda weight, perturbed noise,
+    x-space noising. Split out so the loss math can be golden-tested on
+    identical draws (tests/test_sigma_trainer_golden.py).
+    Returns (noisy_img, dist_real, weight)."""
+    new_noise = noise + eta1 * (noise + eta2 * xi)
+    dim = float(np.prod(batch_x.shape[1:]))
+    dist_real = vector_norm(new_noise, keepdims=True) / jnp.sqrt(dim)
+    noisy = batch_x + sigma * new_noise
+    weight = (sigma ** 2 + sigma_data ** 2) / (sigma * sigma_data) ** 2
+    return noisy, dist_real, weight
+
+
+def edm_sigma_loss(loss_name: str, dist_real: jnp.ndarray,
+                   residual: jnp.ndarray, weight: jnp.ndarray,
+                   loss_weighted: bool):
+    """train_edm loss combine (reference experiments.py:1008-1021 with the
+    reduction='none' that run_edm_experiment.py:206 always passes):
+    elementwise loss, then either lambda-normalized weighted sum or mean."""
+    dist_hat = residual + 1.0
+    if loss_weighted:
+        w = weight / weight.sum()
+        return (get_loss(loss_name, reduction="none")(dist_real, dist_hat) * w).sum()
+    return get_loss(loss_name)(dist_real, dist_hat)
+
+
 def make_edm_sigma_train_step(encode_fn: Callable, sigma_apply: Callable,
                               tx: optax.GradientTransformation,
                               loss_name: str = "mse", ema_rate: float = 0.999,
                               perturb: PerturbCoefficients = PerturbCoefficients(),
                               cfg: EDMTrainConfig = EDMTrainConfig()):
     precond = EDMPrecond(sigma_data=cfg.sigma_data)
-    loss_elem = get_loss(loss_name, reduction="none")
-    loss_mean = get_loss(loss_name)
 
     def train_step(state: SigmaTrainState, frozen_params, batch_x: jnp.ndarray,
                    key: jax.Array):
@@ -54,16 +82,12 @@ def make_edm_sigma_train_step(encode_fn: Callable, sigma_apply: Callable,
             u = jax.random.uniform(k_s, (b,) + ones)
             sigma = cfg.sigma_min * 0.95 + (cfg.sigma_max * 1.05
                                             - cfg.sigma_min * 0.95) * u
-        weight = (sigma ** 2 + cfg.sigma_data ** 2) / (sigma * cfg.sigma_data) ** 2
-
         noise = jax.random.normal(k_n, batch_x.shape)
         xi = jax.random.normal(k_xi, batch_x.shape)
         eta1 = perturb.eta1_min + jax.random.uniform(k_e1, (b,) + ones) * perturb.eta1_scale
         eta2 = perturb.eta2_min + jax.random.uniform(k_e2, (b,) + ones) * perturb.eta2_scale
-        new_noise = noise + eta1 * (noise + eta2 * xi)
-        dim = float(np.prod(shape))
-        dist_real = vector_norm(new_noise, keepdims=True) / jnp.sqrt(dim)
-        noisy = batch_x + sigma * new_noise
+        noisy, dist_real, weight = edm_sigma_regression_targets(
+            batch_x, sigma, noise, xi, eta1, eta2, sigma_data=cfg.sigma_data)
 
         feat = jax.lax.stop_gradient(
             precond.encode(lambda z, t: encode_fn(frozen_params, z, t),
@@ -73,11 +97,8 @@ def make_edm_sigma_train_step(encode_fn: Callable, sigma_apply: Callable,
             residual, new_stats = sigma_apply(
                 {"params": params, "batch_stats": state.batch_stats}, feat,
                 rngs={"dropout": k_drop})
-            dist_hat = residual + 1.0
-            if cfg.loss_weighted:
-                w = weight / weight.sum()
-                return (loss_elem(dist_real, dist_hat) * w).sum(), new_stats
-            return loss_mean(dist_real, dist_hat), new_stats
+            return edm_sigma_loss(loss_name, dist_real, residual, weight,
+                                  cfg.loss_weighted), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_of, has_aux=True)(
             state.params)

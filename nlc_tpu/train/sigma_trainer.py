@@ -65,6 +65,30 @@ class PerturbCoefficients:
     eta2_scale: float = 0.0
 
 
+def sigma_regression_targets(schedule: NoiseSchedule, batch_x: jnp.ndarray,
+                             t: jnp.ndarray, noise: jnp.ndarray,
+                             xi: jnp.ndarray, eta1: jnp.ndarray,
+                             eta2: jnp.ndarray, edm_style: bool = False):
+    """Pinned-draw core of the sigma regression (reference
+    src/experiments.py:661-669): perturbed noise, regression target, q-sample.
+
+    Split out of the train step so the loss math can be golden-tested against
+    the reference on identical (x0, noise, xi, t, eta1, eta2) draws
+    (tests/test_sigma_trainer_golden.py). Returns (noisy_x, dist_real) with
+    dist_real shaped (B, 1, ..., 1).
+    """
+    if edm_style:
+        # reference experiments.py:996-999 (train_edm)
+        new_noise = noise + eta1 * (noise + eta2 * xi)
+    else:
+        # reference experiments.py:664-667 (train)
+        new_noise = noise + eta1 * noise + eta1 * eta2 * xi
+    dim = float(np.prod(batch_x.shape[1:]))
+    dist_real = vector_norm(new_noise, keepdims=True) / jnp.sqrt(dim)
+    noisy_x = schedule.q_sample(batch_x, t, new_noise)
+    return noisy_x, dist_real
+
+
 def make_sigma_train_step(schedule: NoiseSchedule, encode_fn: Callable,
                           sigma_apply: Callable, tx: optax.GradientTransformation,
                           loss_name: str = "mse", ema_rate: float = 0.999,
@@ -99,14 +123,8 @@ def make_sigma_train_step(schedule: NoiseSchedule, encode_fn: Callable,
         xi = jax.random.normal(k_xi, batch_x.shape)
         eta1 = perturb.eta1_min + jax.random.uniform(k_e1, (b,) + ones) * perturb.eta1_scale
         eta2 = perturb.eta2_min + jax.random.uniform(k_e2, (b,) + ones) * perturb.eta2_scale
-        if edm_style:
-            new_noise = noise + eta1 * (noise + eta2 * xi)
-        else:
-            new_noise = noise + eta1 * noise + eta1 * eta2 * xi
-        dim = float(np.prod(sample_shape))
-        dist_real = vector_norm(new_noise, keepdims=True) / jnp.sqrt(dim)
-
-        noisy_x = schedule.q_sample(batch_x, t, new_noise)
+        noisy_x, dist_real = sigma_regression_targets(
+            schedule, batch_x, t, noise, xi, eta1, eta2, edm_style=edm_style)
         feat = jax.lax.stop_gradient(
             encode_fn(frozen_params, noisy_x, t.astype(jnp.float32)))
 
