@@ -32,7 +32,11 @@ import sys
 import threading
 import time
 
-A100_TORCH_IMGS_PER_SEC = {"adm": 0.30, "ddim": 0.8}  # estimates, see docstring
+# estimates, see docstring + docs/BENCHMARKS.md "Baseline derivation";
+# 'edm' is the 64^2 SongUNet 18-step Heun NLC workload (~3.7 TFLOP/image at
+# 35 NFE with the encode tap; eager TF32 torch at 31-47 TF/s => 8-13 img/s,
+# generous end 12)
+A100_TORCH_IMGS_PER_SEC = {"adm": 0.30, "ddim": 0.8, "edm": 12.0}
 
 # Outage protection (the round-2 driver run burned its entire timeout on a
 # dead tunnel and recorded nothing): a subprocess matmul probe must succeed
@@ -93,6 +97,62 @@ def start_watchdog() -> None:
     threading.Thread(target=fire, daemon=True).start()
 
 
+def run_edm_bench():
+    """NLC_BENCH_MODEL=edm: the EDM Heun + NLC 64^2 workload (BASELINE.json
+    config 3) — SongUNet ffhq-64 class, 18-step rho=7 grid, style
+    'pred_partial,pred' (the reference's published NLC recipe,
+    edm_image_sample.py:24,92-99)."""
+    import jax
+    plat_override = os.environ.get("NLC_BENCH_PLATFORM")
+    if plat_override:
+        jax.config.update("jax_platforms", plat_override)
+    import jax.numpy as jnp
+    import numpy as np
+    from nlc_tpu.engine.edm import (EDMModelBundle, EDMSamplerConfig,
+                                    build_edm_sampler)
+    from nlc_tpu.models.factory import create_edm_sigma_eps_model
+    from nlc_tpu.models.song_unet import EDMPrecond, SongUNet
+
+    res = 64
+    steps = int(os.environ.get("NLC_BENCH_EDM_STEPS", "18"))
+    batch = int(os.environ.get("NLC_BENCH_EDM_BATCH", "64"))
+    model, head, ucfg = create_edm_sigma_eps_model(
+        img_resolution=res, model_channels=128, channel_mult=[1, 2, 2, 2],
+        num_blocks=4, attn_resolutions=[16], dropout=0.05, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, res, res, 3)), jnp.zeros((1,)))
+    svars = jax.jit(head.init)(jax.random.PRNGKey(1),
+                               jnp.zeros((1,) + ucfg.feat_shape))
+    bundle = EDMModelBundle(
+        forward=lambda p, z, t: model.apply(p, z, t),
+        encode=lambda p, z, t: model.apply(p, z, t, method=SongUNet.encode),
+        sigma=lambda v, f: head.apply(v, f),
+        precond=EDMPrecond(sigma_data=0.5),
+        forward_and_encode=lambda p, z, t: model.apply(
+            p, z, t, method="forward_and_encode"))
+    cfg = EDMSamplerConfig(num_steps=steps, style="pred_partial,pred")
+    fn = build_edm_sampler(bundle, cfg, (res, res, 3))
+    seeds = jnp.arange(batch)
+    log("compiling + warmup (edm)...")
+    t0 = time.time()
+    np.asarray(fn(params, svars, seeds))
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    n_iters = 3
+    for _ in range(n_iters):
+        np.asarray(fn(params, svars, seeds))
+    dt = (time.time() - t0) / n_iters
+    imgs_per_sec = batch / dt
+    log(f"batch {batch}, {steps} steps: {dt:.3f}s/batch -> {imgs_per_sec:.3f} img/s")
+    print(json.dumps({
+        "metric": f"images/sec/chip, {steps}-step EDM-Heun NLC 64x64 SongUNet "
+                  "sampling (bf16, style=pred_partial,pred)",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / A100_TORCH_IMGS_PER_SEC["edm"], 3),
+    }))
+
+
 def main():
     import jax
 
@@ -121,6 +181,8 @@ def main():
 
     quick = "--quick" in sys.argv
     kind = os.environ.get("NLC_BENCH_MODEL", "adm")
+    if kind == "edm" and not quick:
+        return run_edm_bench()
     # Headline default is W8A8 int8 ('conv'): 0.777 vs 0.746 img/s bf16
     # (docs/BENCHMARKS.md round-2 table), and the 32^2 study's trained-model
     # FID cells measured it inside the north-star's 2% clause (18-step:
@@ -197,7 +259,25 @@ def main():
     dcfg = DenoiseConfig(style=style, norm_eps=True, refine_prior_sigma=True,
                          clip_fn="clamp", sigma_pred_threshold=960,
                          norm_max=nmax, norm_min=nmin)
-    fn = build_denoise_fn(sampler, bundle, dcfg, donate_x=False)
+    # NLC_BENCH_CONSTRAINT=sr_bicubic|inpainting_random|deblur_gauss|
+    # colorization|cs_walshhadamard fuses the SVD A-pinv projection into
+    # every step (BASELINE.json configs 4-5); same engine path as
+    # cli/image_sample.py --constraint
+    constraint = os.environ.get("NLC_BENCH_CONSTRAINT", "")
+    constrain_fn = constrain_loss = None
+    if constraint and not quick:
+        from nlc_tpu.operators import get_constraint_function
+        cf = get_constraint_function(constraint, "svd", image_size=res,
+                                     channels=3, fn_scale=4.0, seed=0)
+        x_true = jnp.asarray(np.random.RandomState(0)
+                             .uniform(-1, 1, (batch, res, res, 3))
+                             .astype(np.float32))
+        y = jax.jit(cf.transform)(x_true)
+        np.asarray(y)
+        constrain_fn = cf.make_constrain_fn(y)
+        constrain_loss = lambda x0: cf.const_loss(cf.transform(x0), y)  # noqa: E731
+    fn = build_denoise_fn(sampler, bundle, dcfg, constrain_fn=constrain_fn,
+                          constrain_loss=constrain_loss, donate_x=False)
 
     seeds = jnp.arange(batch)
     xT = init_noise(sampler, seeds, (res, res, 3))
@@ -222,9 +302,11 @@ def main():
     baseline = A100_TORCH_IMGS_PER_SEC["ddim" if quick else kind]
     # precision stamp always reflects what actually ran (ADVICE r2)
     prec = f"int8-{cfg.quant_backend}" if getattr(cfg, "quant_backend", None) else "bf16"
+    const_tag = f", constraint={constraint}+svd-proj" if constraint else ""
     result = {
         "metric": f"images/sec/chip, {steps}-step NLC-DDIM {res}x{res} "
-                  f"{model_name} sampling ({prec}, style={dcfg.style})",
+                  f"{model_name} sampling ({prec}, style={dcfg.style}"
+                  f"{const_tag})",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline, 3),

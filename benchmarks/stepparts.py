@@ -107,8 +107,9 @@ def main(name: str):
         np.asarray(out)
         times.append(time.time() - t0)
     dt = min(times)
+    tag = os.environ.get("NLC_STEPPARTS_TAG", "")
     rec = {
-        "config": name, "quant": quant or "bf16",
+        "config": name + (f"@{tag}" if tag else ""), "quant": quant or "bf16",
         "style": spec.get("style", "pred"), "ablate": spec.get("ablate", ""),
         "batch": batch, "steps": steps,
         "s_per_batch": round(dt, 4), "ms_per_step": round(dt / steps * 1e3, 2),

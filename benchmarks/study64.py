@@ -1,0 +1,224 @@
+"""Self-hosted 64² study cell: the pred_fast validity boundary at a second
+spatial scale (VERDICT r3 #6).
+
+Round 3 bisected pred_fast's boundary at 32² only (safe at 18 steps, broken
+at <=10 — docs/BENCHMARKS.md); the recommendation was extrapolated to the
+256² flagship where per-step sigma jumps differ. This runs the same
+zero-asset pipeline at 64² (ffhq-class SongUNet config, reference
+edm_image_sample.py:99) with the minimal 6-cell grid the verdict asked for:
+{base, pred, pred_fast} x {18, 10} steps, 1024 samples.
+
+Same stage/resume discipline as study32.py (idempotent; rerun
+`python benchmarks/study64.py auto` until DONE). FID uses the fallback
+embedding — relative comparisons only, stamped in results.json.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from study32 import gen_image, _latest  # noqa: E402  (shared helpers)
+
+STUDY = os.environ.get(
+    "NLC_STUDY64_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "study64"))
+DATA = os.path.join(STUDY, "data")
+FID_NPZ = os.path.join(STUDY, "fid.npz")
+EDM_RUN = os.path.join(STUDY, "edm")
+SIGMA_DIR = os.path.join(STUDY, "sigma")
+SWEEP = os.path.join(STUDY, "sweep")
+
+N_IMAGES = 4096
+RESOLUTION = 64
+TRAIN_KIMG = 400          # 64² ffhq-class: ~5-6 s/kimg on the bench chip
+TRAIN_BATCH = 128
+HEAD_EPOCHS_TOTAL = 24    # x HEAD_ITERS = 12k steps >> EMA halflife (~1386)
+HEAD_CHUNK_EPOCHS = 8
+HEAD_ITERS = 500
+HEAD_BATCH = 64
+SAMPLE_SIZE = 1024
+SWEEP_BATCH = 128
+SWEEP_GRID = [            # (steps, style) — the verdict's 6 cells
+    (18, "base,base"),
+    (18, "pred_partial,pred"),
+    (18, "pred_fast,pred_fast"),
+    (10, "base,base"),
+    (10, "pred_partial,pred"),
+    (10, "pred_fast,pred_fast"),
+]
+
+
+def stage_data():
+    import numpy as np
+    from PIL import Image
+    os.makedirs(DATA, exist_ok=True)
+    done = len(glob.glob(os.path.join(DATA, "*.png")))
+    if done >= N_IMAGES and os.path.exists(os.path.join(STUDY, "norm.json")):
+        return True
+    for i in range(N_IMAGES):
+        p = os.path.join(DATA, f"{i:05d}.png")
+        if not os.path.exists(p):
+            Image.fromarray(gen_image(i, RESOLUTION)).save(p)
+    arrs = []
+    for i in range(0, N_IMAGES, 4):
+        a = np.asarray(Image.open(os.path.join(DATA, f"{i:05d}.png")),
+                       np.float32) / 127.5 - 1
+        arrs.append(np.linalg.norm(a.ravel()))
+    norms = np.array(arrs)
+    stats = {"mean": float(norms.mean()), "p995": float(np.quantile(norms, .995)),
+             "max": float(norms.max())}
+    with open(os.path.join(STUDY, "norm.json"), "w") as f:
+        json.dump(stats, f)
+    print("data:", N_IMAGES, "images; norm stats", stats)
+    return True
+
+
+def stage_stats():
+    if os.path.exists(FID_NPZ):
+        return True
+    from nlc_tpu.cli.make_fid_stats import main as stats_main
+    stats_main(["--images_dir", DATA, "--out", FID_NPZ])
+    return os.path.exists(FID_NPZ)
+
+
+def stage_train():
+    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    if snap and int(re.search(r"(\d+)$", snap).group(1)) >= TRAIN_KIMG:
+        return True
+    from nlc_tpu.cli.edm_train import get_args, main
+    # ffhq-64 class config (reference edm train recipe: ch_mult 1,2,2,2)
+    argv = ["--data", DATA, "--run_dir", EDM_RUN, "--arch", "ddpmpp",
+            "--resolution", str(RESOLUTION), "--model_channels", "128",
+            "--channel_mult", "1,2,2,2", "--num_blocks", "4",
+            "--duration_kimg", str(TRAIN_KIMG), "--batch", str(TRAIN_BATCH),
+            "--lr", "2e-4", "--ema_halflife_kimg", "50",
+            "--kimg_per_tick", "50", "--snapshot_ticks", "1",
+            "--dropout", "0.05", "--augment", "0.15"]
+    state = _latest(os.path.join(EDM_RUN, "training-state-*"))
+    if state:
+        argv += ["--resume_state", state]
+    main(get_args(argv))
+    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    return bool(snap and int(re.search(r"(\d+)$", snap).group(1)) >= TRAIN_KIMG)
+
+
+def _head_epochs_done():
+    p = os.path.join(STUDY, "head_progress.json")
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return json.load(f)["epochs_done"]
+
+
+def stage_head():
+    done = _head_epochs_done()
+    if done >= HEAD_EPOCHS_TOTAL:
+        return True
+    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    assert snap, "train stage incomplete"
+    from nlc_tpu.cli.run_edm_experiment import get_args, main
+    last = HEAD_CHUNK_EPOCHS - 1
+    argv = ["--config", "ffhq", "--load_eps", snap, "--data_dir", DATA,
+            "--fid_target", FID_NPZ, "--result_dir", SIGMA_DIR,
+            "--epoch", str(HEAD_CHUNK_EPOCHS),
+            "--iter_per_epoch", str(HEAD_ITERS), "--save_per_epoch", "0",
+            "--eval_per_epoch", "0", "--batch_size", str(HEAD_BATCH),
+            "--ema_rate", "0.9995", "--lr", "3e-4"]
+    d = os.path.join(SIGMA_DIR, "ffhq", "0")
+    if done:
+        argv += ["--load_folder", "0",
+                 "--resume_model", os.path.join(d, f"sigma_ckpt_{last}"),
+                 "--resume_ema_model", os.path.join(d, f"ema_sigma_ckpt_{last}"),
+                 "--resume_optim", os.path.join(d, "optim_state")]
+    elif os.path.isdir(d):
+        argv += ["--load_folder", "0"]
+    a, c = get_args(argv)
+    main(a, c)
+    with open(os.path.join(STUDY, "head_progress.json"), "w") as f:
+        json.dump({"epochs_done": done + HEAD_CHUNK_EPOCHS}, f)
+    return done + HEAD_CHUNK_EPOCHS >= HEAD_EPOCHS_TOTAL
+
+
+def _cell_dir(steps, style):
+    return os.path.join(SWEEP, f"s{steps}_{style.replace(',', '-')}")
+
+
+def stage_sweep():
+    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    assert snap, "train stage incomplete"
+    assert _head_epochs_done() >= HEAD_EPOCHS_TOTAL, "head stage incomplete"
+    head = os.path.join(SIGMA_DIR, "ffhq", "0",
+                        f"ema_sigma_ckpt_{HEAD_CHUNK_EPOCHS - 1}")
+    with open(os.path.join(STUDY, "norm.json")) as f:
+        norm_max = json.load(f)["p995"]
+    from nlc_tpu.cli.edm_image_sample import get_args, main
+    all_done = True
+    for steps, style in SWEEP_GRID:
+        out = _cell_dir(steps, style)
+        if os.path.exists(os.path.join(out, "0", "results.json")):
+            continue
+        argv = ["--config", "ffhq", "--load_eps", snap,
+                "--load_sigma", head, "--fid_target", FID_NPZ,
+                "--sigma_type", style, "--num_timesteps", str(steps),
+                "--sample_size", str(SAMPLE_SIZE),
+                "--batch_size", str(SWEEP_BATCH),
+                "--save_folder", out]
+        a, c = get_args(argv)
+        a.norm_max = norm_max
+        a.norm_min = 0.0
+        r = main(a, c)
+        print("cell", steps, style, "->", r)
+        all_done = all_done and os.path.exists(
+            os.path.join(out, "0", "results.json"))
+    return all_done
+
+
+def report():
+    rows = []
+    for steps, style in SWEEP_GRID:
+        p = os.path.join(_cell_dir(steps, style), "0", "results.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                rows.append((steps, style, json.load(f).get("fid")))
+    print(json.dumps(rows, indent=1))
+    return rows
+
+
+STAGES = [("data", stage_data), ("stats", stage_stats), ("train", stage_train),
+          ("head", stage_head), ("sweep", stage_sweep)]
+
+
+def main():
+    if os.environ.get("NLC_STUDY_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    which = sys.argv[1] if len(sys.argv) > 1 else "auto"
+    if which == "report":
+        report()
+        return
+    if os.path.exists(os.path.join(STUDY, "DEFER")):
+        print("study deferred (remove DEFER marker to resume)")
+        return
+    os.makedirs(STUDY, exist_ok=True)
+    for name, fn in STAGES:
+        if which not in ("auto", name):
+            continue
+        print(f"== stage {name} ==", flush=True)
+        ok = fn()
+        print(f"== stage {name}: {'complete' if ok else 'INCOMPLETE'} ==",
+              flush=True)
+        if which == name or not ok:
+            return
+    print("DONE")
+    report()
+
+
+if __name__ == "__main__":
+    main()

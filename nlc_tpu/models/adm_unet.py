@@ -42,11 +42,21 @@ class ADMResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
+        from ..ops.quant import resolve_backend
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
 
-        h = GroupNorm(eps=1e-5, name="in_norm")(x)
-        h = swish(h)
+        # fused GroupNorm+SiLU(+int8) epilogues (layers.GroupNorm /
+        # ops/groupnorm_pallas.py): quantize at the norm only when the
+        # consumer conv will actually run int8 (resolve_backend keeps the
+        # two decisions in sync) and nothing sits between norm and conv
+        def _can_quant(h_res):
+            return (self.quant is not None
+                    and resolve_backend(self.quant, h_res, 3, 3, (1, 1))
+                    is not None)
+
+        q_in = _can_quant(x.shape[1]) and not (self.up or self.down)
+        h = GroupNorm(eps=1e-5, name="in_norm")(x, act="silu", quant=q_in)
         if self.up:
             h = _nearest_up(h)
             x = _nearest_up(x)
@@ -58,15 +68,20 @@ class ADMResBlock(nn.Module):
 
         e = nn.Dense(2 * out_ch if self.use_scale_shift_norm else out_ch,
                      dtype=self.dtype, name="emb_proj")(swish(emb))
+        # dropout between SiLU and out_conv must see bf16 (sampling runs
+        # deterministic, so the quantized path is unaffected)
+        q_out = _can_quant(h.shape[1]) and (self.dropout == 0.0
+                                            or deterministic)
         if self.use_scale_shift_norm:
-            scale, shift = jnp.split(e[:, None, None, :], 2, axis=-1)
-            h = GroupNorm(eps=1e-5, name="out_norm")(h) * (1 + scale) + shift
-            h = swish(h)
+            scale, shift = jnp.split(e, 2, axis=-1)
+            h = GroupNorm(eps=1e-5, name="out_norm")(
+                h, film_scale=scale, film_shift=shift, act="silu",
+                quant=q_out)
         else:
-            h = h + e[:, None, None, :]
-            h = GroupNorm(eps=1e-5, name="out_norm")(h)
-            h = swish(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = GroupNorm(eps=1e-5, name="out_norm")(
+                h + e[:, None, None, :], act="silu", quant=q_out)
+        if not isinstance(h, tuple):
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _make_conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
                        kernel_init=nn.initializers.zeros_init(),
                        name="out_conv")(h)
@@ -183,6 +198,12 @@ class ADMUNetConfig:
     # convs; the stem conv and the output conv stay in the compute dtype
     # (standard first/last-layer exemption). None = full-precision path.
     quant_backend: Optional[str] = None
+    # storage dtype for the encoder skip stack (the hs list live across the
+    # whole encoder->decoder span — the largest persistent activation set at
+    # 256^2). 'float8_e4m3fn' halves that footprint vs bf16: an HBM-capacity
+    # relief lever for large batch (docs/BENCHMARKS.md "The B=16 question").
+    # None = keep the compute dtype.
+    skip_store_dtype: Optional[str] = None
 
     @property
     def learn_epsvar(self) -> bool:
@@ -305,11 +326,13 @@ class ADMUNet(nn.Module):
         return h
 
     def _encode_stage(self, x, emb, deterministic):
+        sd = (jnp.dtype(self.config.skip_store_dtype)
+              if self.config.skip_store_dtype else None)
         h = x.astype(self.dtype)
         hs = []
         for layers in self.input_block_layers:
             h = self._run_layers(layers, h, emb, deterministic)
-            hs.append(h)
+            hs.append(h.astype(sd) if sd is not None else h)
         return h, hs
 
     def _middle(self, h, emb, deterministic):
@@ -319,10 +342,10 @@ class ADMUNet(nn.Module):
 
     def _decode_stage(self, h, hs, emb, deterministic):
         for layers in self.output_block_layers:
-            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = jnp.concatenate([h, hs.pop().astype(h.dtype)], axis=-1)
             h = self._run_layers(layers, h, emb, deterministic)
-        h = self.out_norm(h)
-        return self.out_conv(swish(h)).astype(jnp.float32)
+        h = self.out_norm(h, act="silu")   # fused; out_conv stays bf16
+        return self.out_conv(h).astype(jnp.float32)
 
     def __call__(self, x, t, y=None, deterministic: bool = True):
         emb = self._emb(t, y)

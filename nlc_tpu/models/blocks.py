@@ -32,19 +32,26 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
+        from ..ops.quant import resolve_backend
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
 
-        h = GroupNorm(name="norm1")(x)
-        h = swish(h)
+        # fused GroupNorm+SiLU(+int8) epilogue (layers.GroupNorm); quantize
+        # at the norm only when the consumer conv runs int8 and nothing
+        # (dropout) sits between (see adm_unet.ADMResBlock)
+        can_q = (self.quant is not None and x.ndim == 4
+                 and resolve_backend(self.quant, x.shape[1], 3, 3, (1, 1))
+                 is not None)
+        h = GroupNorm(name="norm1")(x, act="silu", quant=can_q)
         h = _conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
                   name="conv1")(h)
         if temb is not None:
             t = nn.Dense(out_ch, dtype=self.dtype, name="temb_proj")(swish(temb))
             h = h + t[:, None, None, :]
-        h = GroupNorm(name="norm2")(h)
-        h = swish(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        q2 = can_q and (self.dropout == 0.0 or deterministic)
+        h = GroupNorm(name="norm2")(h, act="silu", quant=q2)
+        if not isinstance(h, tuple):
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = _conv(self.quant, out_ch, 3, padding=1, dtype=self.dtype,
                   name="conv2")(h)
 

@@ -159,8 +159,7 @@ class DDIMUNet(nn.Module):
                     h = self.up_attns[i_level][i_block](h)
             if self.upsamples[i_level] is not None:
                 h = self.upsamples[i_level](h)
-        h = self.norm_out(h)
-        h = swish(h)
+        h = self.norm_out(h, act="silu")   # fused epilogue (layers.GroupNorm)
         return self.conv_out(h)
 
     # ---- public entry points ----

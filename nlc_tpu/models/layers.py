@@ -56,29 +56,52 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm over NHWC with contiguous channel groups, computed in fp32."""
+    """GroupNorm over NHWC with contiguous channel groups, computed in fp32.
+
+    The optional film_scale/film_shift/act/quant arguments fuse the
+    surrounding ResBlock epilogue — FiLM (y*(1+scale)+shift, reference
+    unet_adm.py:223), SiLU, and int8 activation quantization — into the
+    norm via ops/groupnorm_pallas.py: on TPU the whole chain runs as two
+    HBM passes instead of ~5-6 (round-4 itemization measured GroupNorm at
+    ~half the flagship NLC step). quant=True returns (xq int8, a_scale);
+    the consumer conv takes the pair via ops/quant.routed_conv."""
     num_groups: int = 32
     eps: float = 1e-6
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, film_scale=None, film_shift=None,
+                 act: Optional[str] = None, quant: bool = False):
         orig_dtype = x.dtype
         c = x.shape[-1]
         g = min(self.num_groups, c)
         assert c % g == 0, f"channels {c} not divisible by groups {g}"
-        shape = x.shape[:-1] + (g, c // g)
-        red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
-        # statistics always in fp32; for bf16 activations the normalization
-        # itself stays bf16 (keeps HBM traffic at 2 bytes/elt — the cast-to-
-        # fp32-everywhere variant doubles the bandwidth of every norm)
-        # full fp32 math with a cast back: measured FASTER than bf16-math
-        # normalization on v5e (XLA fuses the casts into the surrounding
-        # convs; bf16 rounding ops cost more than the saved bandwidth)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         from ..utils.ablate import ablated
         if ablated("norm"):   # perf itemization only (utils/ablate.py)
-            return (x.astype(jnp.float32) * scale + bias).astype(orig_dtype)
+            y = x.astype(jnp.float32) * scale + bias
+            if film_scale is not None:
+                y = y * (1.0 + film_scale[:, None, None, :])
+            if film_shift is not None:
+                y = y + film_shift[:, None, None, :]
+            y = y.astype(orig_dtype)
+            return swish(y) if act == "silu" else y
+        if (film_scale is not None or film_shift is not None
+                or act is not None or quant) and x.ndim == 4:
+            from ..ops.groupnorm_pallas import fused_groupnorm_act
+            fs = (film_scale.astype(jnp.float32)
+                  if film_scale is not None else None)
+            fh = (film_shift.astype(jnp.float32)
+                  if film_shift is not None else None)
+            return fused_groupnorm_act(x, scale, bias, num_groups=g,
+                                       eps=self.eps, film_scale=fs,
+                                       film_shift=fh, act=act, quant=quant)
+        shape = x.shape[:-1] + (g, c // g)
+        red_axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
+        # statistics always in fp32; full fp32 math with a cast back:
+        # measured FASTER than bf16-math normalization on v5e (XLA fuses
+        # the casts into the surrounding convs; bf16 rounding ops cost more
+        # than the saved bandwidth)
         xg32 = x.reshape(shape).astype(jnp.float32)
         mean = xg32.mean(axis=red_axes, keepdims=True)
         var = xg32.var(axis=red_axes, keepdims=True)

@@ -30,15 +30,32 @@ from .layers import swish
 
 
 class EDMGroupNorm(nn.Module):
-    """GroupNorm with groups = min(32, C // 4) (reference :105-122)."""
+    """GroupNorm with groups = min(32, C // 4) (reference :105-122).
+
+    film_scale/film_shift/act/quant fuse the UNetBlock epilogue (FiLM +
+    SiLU + optional int8 quantize) via ops/groupnorm_pallas.py — same
+    mechanism as models.layers.GroupNorm, with EDM's group rule."""
     num_groups: int = 32
     min_channels_per_group: int = 4
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, film_scale=None, film_shift=None,
+                 act: Optional[str] = None, quant: bool = False):
         c = x.shape[-1]
         g = min(self.num_groups, c // self.min_channels_per_group)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if (film_scale is not None or film_shift is not None
+                or act is not None or quant) and x.ndim == 4:
+            from ..ops.groupnorm_pallas import fused_groupnorm_act
+            fs = (film_scale.astype(jnp.float32)
+                  if film_scale is not None else None)
+            fh = (film_shift.astype(jnp.float32)
+                  if film_shift is not None else None)
+            return fused_groupnorm_act(x, scale, bias, num_groups=g,
+                                       eps=self.eps, film_scale=fs,
+                                       film_shift=fh, act=act, quant=quant)
         orig = x.dtype
         shape = x.shape[:-1] + (g, c // g)
         axes = tuple(range(1, x.ndim - 1)) + (x.ndim,)
@@ -48,8 +65,6 @@ class EDMGroupNorm(nn.Module):
         mean = xg32.mean(axis=axes, keepdims=True)
         var = xg32.var(axis=axes, keepdims=True)
         xn = (xg32 - mean) * jax.lax.rsqrt(var + self.eps)
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return (xn.reshape(x.shape) * scale + bias).astype(orig)
 
 
@@ -124,10 +139,11 @@ class EDMConv(nn.Module):
                 padding=[(pad, pad), (pad, pad)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+        cin = (x[0] if isinstance(x, tuple) else x).shape[-1]
         if k:
             kern = self.param("kernel",
                               nn.initializers.variance_scaling(1.0, "fan_in", "uniform"),
-                              (k, k, x.shape[-1], self.out_channels), jnp.float32)
+                              (k, k, cin, self.out_channels), jnp.float32)
         if self.fused_resample and self.up and k:
             x = _depthwise_transposed_conv(x, _fir_filter(self.resample_filter) * 4.0,
                                            max(f_pad - w_pad, 0))
@@ -208,24 +224,46 @@ class EDMUNetBlock(nn.Module):
             self.num_heads if self.num_heads is not None
             else out_ch // self.channels_per_head)
 
+        from ..ops.quant import resolve_backend
+
+        # fused GroupNorm+FiLM+SiLU(+int8) epilogues (EDMGroupNorm /
+        # ops/groupnorm_pallas.py): quantize at the norm only when the
+        # consumer EDMConv will actually run int8 (stride-1, no resample —
+        # EDMConv's own routing condition) and nothing sits between
+        def _can_quant(h_res):
+            return (self.quant is not None
+                    and resolve_backend(self.quant, h_res, 3, 3, (1, 1))
+                    is not None)
+
         orig = x
+        q0 = _can_quant(x.shape[1]) and not (self.up or self.down)
         h = EDMConv(out_ch, 3, up=self.up, down=self.down,
                     resample_filter=self.resample_filter, dtype=self.dtype,
-                    quant=self.quant,
-                    name="conv0")(swish(EDMGroupNorm(eps=self.eps, name="norm0")(x)))
+                    quant=self.quant, name="conv0")(
+            EDMGroupNorm(eps=self.eps, name="norm0")(x, act="silu", quant=q0))
 
+        # dropout between norm1's SiLU and conv1 must see bf16 (sampling
+        # runs deterministic, so the quantized path is unaffected)
+        q1 = _can_quant(h.shape[1]) and (self.dropout == 0.0 or deterministic)
         if self.with_emb:
             par = nn.Dense(out_ch * (2 if self.adaptive_scale else 1),
-                           dtype=self.dtype, name="affine")(emb)[:, None, None, :]
+                           dtype=self.dtype, name="affine")(emb)
             if self.adaptive_scale:
+                # reference :186: silu(shift + norm(h) * (scale + 1)) — the
+                # fused FiLM formula y*(1+scale)+shift exactly
                 scale, shift = jnp.split(par, 2, axis=-1)
-                h = swish(shift + EDMGroupNorm(eps=self.eps, name="norm1")(h) * (scale + 1))
+                h = EDMGroupNorm(eps=self.eps, name="norm1")(
+                    h, film_scale=scale, film_shift=shift, act="silu",
+                    quant=q1)
             else:
-                h = swish(EDMGroupNorm(eps=self.eps, name="norm1")(h + par))
+                h = EDMGroupNorm(eps=self.eps, name="norm1")(
+                    h + par[:, None, None, :], act="silu", quant=q1)
         else:
-            h = swish(EDMGroupNorm(eps=self.eps, name="norm1")(h))
+            h = EDMGroupNorm(eps=self.eps, name="norm1")(h, act="silu",
+                                                         quant=q1)
 
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        if not isinstance(h, tuple):
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = EDMConv(out_ch, 3, dtype=self.dtype, quant=self.quant,
                     name="conv1")(h)
 

@@ -62,6 +62,8 @@ def quantize_symmetric(x: jnp.ndarray, axis=None,
 
 
 def _dequant_epilogue(acc_i32, a_scale, w_scale, bias, out_dtype):
+    # a_scale: scalar (per-tensor) or (N,1,1,1) (per-sample, from the fused
+    # GroupNorm+SiLU+quantize epilogue — ops/groupnorm_pallas.py)
     y = acc_i32.astype(jnp.float32) * (a_scale * w_scale.reshape(1, 1, 1, -1))
     if bias is not None:
         y = y + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
@@ -70,20 +72,32 @@ def _dequant_epilogue(acc_i32, a_scale, w_scale, bias, out_dtype):
 
 def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
               strides: Sequence[int] = (1, 1), padding="SAME",
-              backend: str = "taps", out_dtype=jnp.bfloat16) -> jnp.ndarray:
+              backend: str = "taps", out_dtype=jnp.bfloat16,
+              prequant: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+              ) -> jnp.ndarray:
     """W8A8 NHWC convolution with fp kernel input (quantized here so the
-    caller's param tree stays identical to the bf16 path)."""
+    caller's param tree stays identical to the bf16 path).
+
+    prequant=(xq, a_scale): the activation is already int8 (the producer
+    fused quantization into its epilogue — ops/groupnorm_pallas.py);
+    a_scale is scalar or per-sample (N,). `x` is ignored then.
+    """
     wq, w_scale = quantize_symmetric(kernel.astype(jnp.float32), axis=(0, 1, 2))
-    from ..utils.ablate import ablated
-    if ablated("dyn_ascale"):   # perf itemization only (utils/ablate.py):
-        # pins the activation scale, removing the per-call absmax reduce —
-        # measures the headroom of static (calibrated) activation scales
-        a_scale = jnp.float32(0.05)
+    if prequant is not None:
+        xq, a_scale = prequant
+        a_scale = (a_scale.reshape(-1, 1, 1, 1)
+                   if getattr(a_scale, "ndim", 0) else a_scale)
     else:
-        a_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-        a_scale = jnp.maximum(a_scale, 1e-12)
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
-                  -127, 127).astype(jnp.int8)
+        from ..utils.ablate import ablated
+        if ablated("dyn_ascale"):   # perf itemization only (utils/ablate.py):
+            # pins the activation scale, removing the per-call absmax reduce —
+            # measures the headroom of static (calibrated) activation scales
+            a_scale = jnp.float32(0.05)
+        else:
+            a_scale = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+            a_scale = jnp.maximum(a_scale, 1e-12)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                      -127, 127).astype(jnp.int8)
     w_scale = w_scale.reshape(-1)
 
     if backend == "conv":
@@ -111,7 +125,11 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: Optional[jnp.ndarray],
         if on_tpu and pallas_conv_applicable(xq.shape, wq.shape, strides,
                                              padding,
                                              jnp.dtype(out_dtype).itemsize):
-            fused = (a_scale * w_scale).astype(jnp.float32)
+            # (N, Cout) fused dequant scales: per-sample a_scale (from a
+            # fused-quantize producer) or a broadcast scalar
+            fused = jnp.broadcast_to(
+                (a_scale * w_scale).astype(jnp.float32).reshape(-1, wq.shape[-1]),
+                (xq.shape[0], wq.shape[-1]))
             b = (bias if bias is not None
                  else jnp.zeros((wq.shape[-1],))).astype(jnp.float32)
             return int8_conv3x3_pallas(xq, wq, fused, b, out_dtype=out_dtype)
@@ -239,28 +257,26 @@ class QuantConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
+        cin = (x[0] if isinstance(x, tuple) else x).shape[-1]
         kernel = self.param("kernel", self.kernel_init,
-                            (kh, kw, x.shape[-1], self.features), jnp.float32)
+                            (kh, kw, cin, self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32) if self.use_bias else None
         return routed_conv(x, kernel, bias, self.strides, self.padding,
                            self.backend, self.dtype)
 
 
-def routed_conv(x, kernel, bias, strides, padding, backend, dtype):
-    """The W8A8 backend-routing policy shared by every model family
-    (QuantConv and song_unet.EDMConv): resolve 'auto' / '@threshold'
-    suffixes per the measured per-shape policy and run either the plain
-    conv or the int8 path."""
-    kh, kw = kernel.shape[0], kernel.shape[1]
-    pad = padding
-    if isinstance(pad, int):
-        pad = [(pad, pad), (pad, pad)]
+def resolve_backend(backend, h, kh, kw, strides):
+    """The W8A8 per-shape routing policy: returns the effective int8
+    backend name for this conv shape, or None for the plain bf16 path.
+    Shared by routed_conv and the models' fused-quantize decision (a
+    producer may only emit int8 when its consumer conv will run int8)."""
+    if not backend:
+        return None
     min_res = 0
-    if backend and "@" in backend:
+    if "@" in backend:
         backend, min_res = backend.split("@")
         min_res = int(min_res)
-    plain = not backend
     if backend == "auto":
         # measured per-shape policy (docs/BENCHMARKS.md round-2 conv
         # microbenchmarks): XLA's int8 conv wins at >=64^2 3x3 (201 vs
@@ -268,14 +284,39 @@ def routed_conv(x, kernel, bias, strides, padding, backend, dtype):
         # at <=32^2 3x3 (65/58 vs 57/51); 1x1 and strided convs are
         # memory-bound and stay bf16.
         if (kh, kw) != (3, 3) or tuple(strides) != (1, 1):
-            plain = True
-        else:
-            backend = "conv" if x.shape[1] >= 64 else "pallas"
+            return None
+        return "conv" if h >= 64 else "pallas"
     # under a threshold'd backend 1x1 convs always stay bf16: they are
     # memory-bound at every measured shape, so the activation-quantize
     # pass is pure overhead (256^2 512->256: int8 61 vs bf16 100 TF/s)
-    if plain or (min_res and (x.shape[1] < min_res
-                              or (kh, kw) == (1, 1))):
+    if min_res and (h < min_res or (kh, kw) == (1, 1)):
+        return None
+    return backend
+
+
+def routed_conv(x, kernel, bias, strides, padding, backend, dtype):
+    """The W8A8 backend-routing policy shared by every model family
+    (QuantConv and song_unet.EDMConv): resolve 'auto' / '@threshold'
+    suffixes per the measured per-shape policy and run either the plain
+    conv or the int8 path.
+
+    x may be a prequantized (xq int8, a_scale) pair from a producer that
+    fused quantization into its epilogue (groupnorm_pallas); the producer
+    must have checked resolve_backend for this shape first."""
+    kh, kw = kernel.shape[0], kernel.shape[1]
+    pad = padding
+    if isinstance(pad, int):
+        pad = [(pad, pad), (pad, pad)]
+    prequant = None
+    if isinstance(x, tuple):
+        prequant = x
+        x = prequant[0]
+    eff = resolve_backend(backend, x.shape[1], kh, kw, strides)
+    if eff is None:
+        assert prequant is None, (
+            "producer emitted int8 for a conv the routing policy runs in "
+            "bf16 — keep the fused-quantize decision in sync via "
+            "resolve_backend")
         y = jax.lax.conv_general_dilated(
             x.astype(dtype), kernel.astype(dtype),
             tuple(strides), pad,
@@ -285,4 +326,4 @@ def routed_conv(x, kernel, bias, strides, padding, backend, dtype):
             y = y + bias.reshape(1, 1, 1, -1).astype(jnp.float32)
         return y.astype(dtype)
     return int8_conv(x, kernel, bias, strides, pad,
-                     backend=backend, out_dtype=dtype)
+                     backend=eff, out_dtype=dtype, prequant=prequant)

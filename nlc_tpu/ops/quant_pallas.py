@@ -50,7 +50,11 @@ def _conv_kernel(x_hbm, w_ref, scale_ref, bias_ref, out_ref, slab, sem,
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
 
-    y = acc.astype(jnp.float32) * scale_ref[0][None, None, :]
+    # scale_ref holds ALL batch rows (N, tc): a (1, tc) block would need a
+    # sublane-dim block of 1 over an N-row array, which TPU lowering rejects
+    # (second-to-minor block dims must be 8-divisible or whole); the full
+    # (N, tc) block is tiny and indexed per-sample here instead
+    y = acc.astype(jnp.float32) * scale_ref[n][None, None, :]
     y = y + bias_ref[0][None, None, :]
     out_ref[0] = y.astype(out_ref.dtype)
 
@@ -99,9 +103,11 @@ def _pick_tiles(h, w, c, cout, itemsize_out=2, budget=12 * 1024 * 1024):
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
                         interpret=False):
-    """xq: (N, H, W, C) int8. wq: (3, 3, C, Cout) int8. scale: (Cout,) f32 —
-    the fused a_scale * w_scale dequant factor. bias: (Cout,) f32 (zeros if
-    none). Returns (N, H, W, Cout) out_dtype. Stride 1, SAME."""
+    """xq: (N, H, W, C) int8. wq: (3, 3, C, Cout) int8. scale: (Cout,) or
+    (N, Cout) f32 — the fused a_scale * w_scale dequant factor (per-sample
+    rows when the activation scale came from a fused-quantize producer).
+    bias: (Cout,) f32 (zeros if none). Returns (N, H, W, Cout). Stride 1,
+    SAME."""
     n, h, w, c = xq.shape
     cout = wq.shape[-1]
     th, tc = _pick_tiles(h, w, c, cout, jnp.dtype(out_dtype).itemsize)
@@ -122,7 +128,7 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),            # x stays in HBM
             pl.BlockSpec((3, 3, c, tc), lambda i, j, k: (0, 0, 0, k)),
-            pl.BlockSpec((1, tc), lambda i, j, k: (0, k)),
+            pl.BlockSpec((n, tc), lambda i, j, k: (0, k)),
             pl.BlockSpec((1, tc), lambda i, j, k: (0, k)),
         ],
         out_specs=pl.BlockSpec((1, th, w, tc),
@@ -133,7 +139,8 @@ def int8_conv3x3_pallas(xq, wq, scale, bias, out_dtype=jnp.bfloat16,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xp, wq, scale.reshape(1, cout), bias.reshape(1, cout))
+    )(xp, wq, jnp.broadcast_to(scale.reshape(-1, cout), (n, cout)),
+      bias.reshape(1, cout))
 
 
 def pallas_conv_applicable(x_shape, kernel_shape, strides, padding,
