@@ -75,9 +75,17 @@ def main():
                     else:
                         a = np.asarray(got, np.float32)
                         b = np.asarray(want, np.float32)
-                        err = np.abs(a - b).max()
-                        assert err <= 0.02, f"max abs err {err}"
-                        tag = f"maxerr={err:.4f}"
+                        # Both sides are bf16 outputs of identically-specified
+                        # math with different reduction tiling; allow 2 bf16
+                        # ulps relative (2^-7) atop a 0.02 absolute floor —
+                        # FiLM-scaled outputs exceed |4|, where one bf16 ulp
+                        # is already 0.03125.
+                        tol = np.maximum(0.02, np.abs(b) * 2.0 ** -7)
+                        err = np.abs(a - b)
+                        nbad = int((err > tol).sum())
+                        assert nbad == 0, \
+                            f"{nbad} elems past 2-ulp bound, max {err.max()}"
+                        tag = f"maxerr={err.max():.4f}"
                     print(f"H={h} C={c} film={int(film)} quant={int(quant)}"
                           f": OK {tag}", flush=True)
                 except Exception as e:  # noqa: BLE001

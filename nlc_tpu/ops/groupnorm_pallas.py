@@ -184,9 +184,12 @@ def _apply_kernel(x_ref, a_ref, b_ref, q_ref, out_ref, *, act):
         out_ref[0] = y.astype(out_ref.dtype)
 
 
-def _row_tile(h: int, w: int, c: int, budget=6 * 1024 * 1024) -> int:
-    """Largest row tile whose (th, W, C) bf16 block stays under the budget
-    (double-buffered in+out by Pallas's pipeline)."""
+def _row_tile(h: int, w: int, c: int, budget=2 * 1024 * 1024) -> int:
+    """Largest row tile whose (th, W, C) bf16 block stays under the budget.
+    The kernel body materializes ~4x the block in fp32 temporaries (cast +
+    centred deviations) on top of Pallas's double-buffered in/out blocks:
+    chip-measured, 4MB blocks crash the v5e compile (tpu_compile_helper
+    exit 1) while <=2MB blocks compile and validate (logs/r4/fusedprobe)."""
     for th in (h, 64, 32, 16, 8):
         if th <= h and h % th == 0 and th * w * c * 2 <= budget:
             return th
