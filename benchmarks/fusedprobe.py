@@ -9,9 +9,14 @@ queue1 bf16 cells died on exactly that), so lowering + numerics must be
 proven on hardware before the stepparts/bench queue spends hours.
 
 Exit code 0 = all cells pass; nonzero aborts the queue.
+
+Resumable: each passing cell is appended to measurements/r4/fusedprobe_done.txt
+and skipped on rerun — tunnel compiles run ~2 min/cell, so a single timeout
+budget cannot be trusted to cover all 44 cells in one shot.
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -19,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+DONE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "measurements", "r4", "fusedprobe_done.txt")
 from nlc_tpu.ops.groupnorm_pallas import (_fused_impl,  # noqa: E402
                                           pallas_groupnorm_applicable)
 
@@ -32,6 +39,10 @@ SHAPES = [
 
 def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
+    done = set()
+    if os.path.exists(DONE_PATH):
+        with open(DONE_PATH) as f:
+            done = {line.strip() for line in f if line.strip()}
     rng = np.random.RandomState(0)
     n_fail = 0
     for h, c, g in SHAPES:
@@ -47,6 +58,11 @@ def main():
             continue
         for film in (False, True):
             for quant in (False, True):
+                key = f"{h},{c},{int(film)},{int(quant)}"
+                if key in done:
+                    print(f"H={h} C={c} film={int(film)} quant={int(quant)}"
+                          ": SKIP (already validated)", flush=True)
+                    continue
                 kw = dict(film_scale=fs if film else None,
                           film_shift=fh if film else None,
                           num_groups=g, eps=1e-5, act="silu", quant=quant)
@@ -88,6 +104,9 @@ def main():
                         tag = f"maxerr={err.max():.4f}"
                     print(f"H={h} C={c} film={int(film)} quant={int(quant)}"
                           f": OK {tag}", flush=True)
+                    os.makedirs(os.path.dirname(DONE_PATH), exist_ok=True)
+                    with open(DONE_PATH, "a") as f:
+                        f.write(key + "\n")
                 except Exception as e:  # noqa: BLE001
                     n_fail += 1
                     print(f"H={h} C={c} film={int(film)} quant={int(quant)}"
