@@ -352,21 +352,37 @@ def _sigma_train_adm256():
                               mutable=["batch_stats"])
         return out, mut["batch_stats"]
 
-    step = jax.jit(make_sigma_train_step(schedule, encode_fn, sigma_apply, tx,
-                                         loss_name="mae",
-                                         perturb=PerturbCoefficients()))
-    x = jnp.asarray(np.random.RandomState(0)
-                    .uniform(-1, 1, (batch, res, res, 3)).astype(np.float32))
+    step_fn = make_sigma_train_step(schedule, encode_fn, sigma_apply, tx,
+                                    loss_name="mae",
+                                    perturb=PerturbCoefficients())
+    # Timing discipline: the first capture of this cell fenced on
+    # np.asarray({"loss": ...}) — numpy wraps a dict in an OBJECT array
+    # without fetching device bytes, so it timed only the async dispatch
+    # (3.5 ms "per step" on a 552M encode; physically impossible). Chain
+    # K steps in one lax.scan — the state carry + a distinct batch per
+    # iteration (and the key folded with state.step) keep every iteration
+    # distinct so nothing hoists — and fence on the loss *array*.
+    K = 2 if QUICK else 8
+    xs = jnp.asarray(np.random.RandomState(0)
+                     .uniform(-1, 1, (K, batch, res, res, 3)).astype(np.float32))
     key = jax.random.PRNGKey(42)
 
+    @jax.jit
+    def k_steps(st, frozen, xs):
+        def body(c, xb):
+            c2, metrics = step_fn(c, frozen, xb, key)
+            return c2, metrics["loss"]
+        _, losses = jax.lax.scan(body, st, xs)
+        return losses
+
     def run():
-        s, loss = step(state, params, x, key)
-        return loss
+        return k_steps(state, params, xs)
 
     compile_s, times = _time_loop(run, lambda o: o)
-    dt = min(times)
+    dt = min(times) / K
     return {
         "cell": "sigma_train_adm256",
+        "steps_chained": K,
         "workload": ("sigma correction-net training step on the 256^2 ADM "
                      "backbone (BASELINE config 5): frozen encode + head "
                      "fwd/bwd + adamw"),

@@ -311,7 +311,16 @@ def fused_groupnorm_act(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     n, h, w, c = x.shape
     g = min(num_groups, c)
     assert c % g == 0, f"channels {c} not divisible by groups {g}"
-    use_pallas = (jax.default_backend() == "tpu" or interpret) and \
+    # Chip-measured gating (benchmarks/measurements/r4/stepparts.jsonl):
+    # the Pallas pair wins only when it also folds the quantize chain
+    # (int8 flagship 205.1 -> 182.7 ms/step); on bf16 XLA already fuses
+    # normalize+FiLM+SiLU into the stats epilogue and the kernel's extra
+    # min/max work is a net loss (214 -> 219.6 ms/step). NLC_FUSED_NORM
+    # =1/0 forces it on/off for experiments.
+    import os
+    force = os.environ.get("NLC_FUSED_NORM")
+    want = (quant or interpret) if force is None else force == "1"
+    use_pallas = want and (jax.default_backend() == "tpu" or interpret) and \
         pallas_groupnorm_applicable(x.shape, g)
     return _fused_vjp(x, gamma, beta, film_scale, film_shift, g, eps,
                       act, quant, use_pallas, interpret)
