@@ -319,9 +319,12 @@ def main():
         # 55.7M SongUNet — a different architecture/resolution than this
         # 552M ADM 256^2 headline model, whose own int8 evidence is the
         # trajectory-drift bounds
-        result["note"] = ("W8A8 int8; FID-neutral at 32^2 on a trained "
-                          "SongUNet (-0.2% at 18 steps, fallback-embedding "
-                          "FID — benchmarks/measurements/r3/study32); "
+        result["note"] = ("W8A8 int8 + fused norm epilogues; FID-neutral at "
+                          "32^2 on a trained SongUNet (-0.2% at 18 steps, "
+                          "fallback-embedding FID — measurements/r3/study32) "
+                          "with embedding-independent paired evidence 44.9 dB "
+                          "PSNR vs the bf16 loop's own samples "
+                          "(measurements/r4/int8_paired_quality.json); "
                           "extrapolated to this 256^2 ADM model, where int8 "
                           "evidence is drift bounds (tests/test_quant.py); "
                           "NLC_BENCH_QUANT=bf16 reproduces the unquantized "
