@@ -19,6 +19,7 @@ import json
 import os
 import re
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -45,6 +46,22 @@ HEAD_ITERS = 500
 HEAD_BATCH = 64
 SAMPLE_SIZE = 1024
 SWEEP_BATCH = 128
+# Self-imposed wall budget: don't START a new stage or sweep cell past this
+# point, so the process exits cleanly between chip programs instead of the
+# queue's outer `timeout` SIGTERM-ing an in-flight compile (which has wedged
+# the tunneled TPU plane before — CLAUDE.md). The longest single unit here
+# is one sweep cell (~950 s compile + sampling), so 3800 + ~1100 stays well
+# inside the queue's 5400 s backstop.
+BUDGET_S = float(os.environ.get("NLC_STUDY_BUDGET_S", "3800"))
+_T0 = time.monotonic()
+
+
+def _over_budget(what: str) -> bool:
+    if time.monotonic() - _T0 > BUDGET_S:
+        print(f"budget exhausted before {what} ({BUDGET_S:.0f}s) — "
+              "exiting cleanly for the next queue attempt", flush=True)
+        return True
+    return False
 SWEEP_GRID = [            # (steps, style) — the verdict's 6 cells
     (18, "base,base"),
     (18, "pred_partial,pred"),
@@ -164,6 +181,9 @@ def stage_sweep():
         out = _cell_dir(steps, style)
         if os.path.exists(os.path.join(out, "0", "results.json")):
             continue
+        if _over_budget(f"sweep cell s{steps}_{style}") or \
+                os.path.exists(os.path.join(STUDY, "DEFER")):
+            return False
         argv = ["--config", "ffhq", "--load_eps", snap,
                 "--load_sigma", head, "--fid_target", FID_NPZ,
                 "--sigma_type", style, "--num_timesteps", str(steps),
@@ -210,6 +230,11 @@ def main():
     for name, fn in STAGES:
         if which not in ("auto", name):
             continue
+        if os.path.exists(os.path.join(STUDY, "DEFER")):
+            print("study deferred mid-run (DEFER marker)", flush=True)
+            return
+        if _over_budget(f"stage {name}"):
+            return
         print(f"== stage {name} ==", flush=True)
         ok = fn()
         print(f"== stage {name}: {'complete' if ok else 'INCOMPLETE'} ==",
