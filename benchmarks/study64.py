@@ -130,8 +130,13 @@ def _head_epochs_done():
     p = os.path.join(STUDY, "head_progress.json")
     if not os.path.exists(p):
         return 0
-    with open(p) as f:
-        return json.load(f)["epochs_done"]
+    try:
+        with open(p) as f:
+            return json.load(f)["epochs_done"]
+    except (ValueError, KeyError):
+        # a malformed marker is also how an in-flight OLD-code attempt was
+        # stopped at the train/head boundary (host-side, pre-dispatch)
+        return 0
 
 
 def stage_head():
