@@ -8,8 +8,11 @@
 #   1. polls chip health until a 1024^2 jitted matmul completes (<150 s)
 #   2. bench.py re-capture (fused headline, driver-parity check)
 #   3. normbw probe (residual ~80 ms norm bucket: memory floor or headroom?)
-#   4. pred_fast+int8+fused extension bench row
-#   5. study64 from scratch to DONE (resumable stage driver)
+#   4. fused-era backend re-test: whole-loop 'auto' and 'conv@64' cells —
+#      round 2 measured 'auto' losing on the un-fused Pallas quantize
+#      boundary, which the fused norm epilogue has since eliminated
+#   5. pred_fast+int8+fused extension bench row
+#   6. study64 from scratch to DONE (resumable stage driver)
 # Serial, one chip job at a time (CLAUDE.md).
 cd /root/repo
 mkdir -p logs/r4
@@ -48,7 +51,14 @@ for attempt in 1 2 3; do
   grep -q "NORMBW_DONE" "logs/r4/normbw_q9a${attempt}.log" && break
 done
 
-# 4. extension row: pred_fast + int8 + fused
+# 4. fused-era backend re-test cells
+export NLC_STEPPARTS_TAG=fused
+for cell in auto conv_at64; do
+  run "stepparts_fused_${cell}" timeout 1800 python benchmarks/stepparts.py "$cell"
+done
+unset NLC_STEPPARTS_TAG
+
+# 5. extension row: pred_fast + int8 + fused
 run bench_predfast_q9 env NLC_BENCH_STYLE=pred_fast timeout 2400 python bench.py
 
 # 5. study64 from scratch (stages: data/stats/train/head/sweep, all resumable)

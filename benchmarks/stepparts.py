@@ -33,6 +33,13 @@ CONFIGS = {
     "static_ascale": {"ablate": "dyn_ascale"},
     "no_all":        {"ablate": "norm,swish,attn,dyn_ascale"},
     "style_base":    {"style": "base"},
+    # fused-era backend re-test (round 4): the round-2 whole-loop table
+    # measured 'auto' losing to 'conv' (0.761 vs 0.777) because the Pallas
+    # custom-call boundary un-fused the surrounding quantize/dequant work —
+    # precisely what the fused norm epilogue now folds away (the producer
+    # hands the conv a prequantized int8 pair). Re-measure both routings.
+    "auto":          {"quant": "auto"},
+    "conv_at64":     {"quant": "conv@64"},
     "bf16":          {"quant": "bf16"},
     "bf16_no_norm":  {"quant": "bf16", "ablate": "norm"},
     "bf16_no_swish": {"quant": "bf16", "ablate": "swish"},
