@@ -10,16 +10,20 @@ whole-loop ablation delta includes scheduling/pipelining effects that no
 norm kernel can recover. This probe separates the two by timing each site
 shape STANDALONE against a same-shape copy yardstick:
 
-  copy        y = x + 1                      (1R + 1W, the practical BW ceiling)
-  reduce      per-channel sum over H,W       (1R, reduction-engine ceiling)
+  copy        acc += x + 1                   (the practical BW ceiling)
+  reduce      per-channel sum over N,H,W     (1R, reduction-engine ceiling)
   xla_chain   reference GroupNorm+FiLM+SiLU  (the bf16 loop's chain)
   pallas_bf16 ops/groupnorm_pallas 2-pass    (what the loop would run if forced)
   pallas_int8 same, int8-emitting            (the int8 loop's actual kernel)
   xla_int8    reference chain + absmax + quantize (the unfused int8 chain)
 
-Interpretation: if pallas/xla chain ms ~= 1.5x copy ms (3 passes vs 2), the
-kernels are at the memory floor and the residual whole-loop bucket is not
-recoverable by a better norm kernel; a large gap means tile-level headroom.
+Every materializing variant is fenced through a same-shape accumulator
+carry (see bench_one) so XLA cannot elide the output write; the stated
+per-variant pass model includes the accumulator's +2 passes.
+Interpretation: compare each variant's achieved GB/s (gb_s_model) against
+copy's — parity means the chain is at the memory floor and the residual
+whole-loop norm bucket is not recoverable by a better norm kernel; a
+large gap means tile-level headroom the fused pair failed to claim.
 
 Methodology per CLAUDE.md: one jitted lax.scan per cell over 8 distinct
 input stacks indexed by the loop counter (loop-invariant ops get hoisted),
@@ -38,8 +42,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "measurements", "r4", "normbw.jsonl")
+OUT = os.environ.get(
+    "NLC_NORMBW_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "measurements", "r4", "normbw.jsonl"))
 
 # (res, ch) from the flagship's 44-site probe list
 # (measurements/r4/fusedprobe_done.txt), largest-traffic first. B=8.
@@ -69,51 +75,83 @@ def bench_one(res, ch, variant, batch=8, groups=32):
     fh = jnp.asarray(rng.randn(batch, ch) * 0.1, jnp.float32)
 
     bytes_1pass = batch * res * res * ch * 2           # one bf16 sweep
-    # bytes model per variant: reads at bf16, int8 write = half a bf16 read
-    model_bytes = {
-        "copy": 2.0, "reduce": 1.0, "xla_chain": 3.0, "pallas_bf16": 3.0,
-        "pallas_int8": 2.5, "xla_int8": 4.0,           # +absmax R, int8 W+R?
-    }[variant] * bytes_1pass
+    # The output of every materializing variant is fenced by adding it into
+    # a same-shape bf16 accumulator carried through the scan: a scalar
+    # `.mean()` fence would let XLA fuse the elementwise work into the
+    # reduction and ELIDE the output write entirely (the "copy" yardstick
+    # would silently become a pure read). The accumulator costs every such
+    # variant the same +2 passes (R acc + W acc), stated in the model:
+    #   copy         R x, R acc, W acc                                  = 3
+    #   reduce       R x (small per-channel output, no acc)             = 1
+    #   xla_chain    stats R x; apply(+acc) R x, R acc, W acc           = 4
+    #   pallas_bf16  kernel stats R + apply R + W y; acc R y,R acc,W acc= 6
+    #   pallas_int8  same, y int8 (W .5, R .5)                          = 5
+    #   xla_int8     stats R; apply+absmax R x, W y; quant R y, W q(.5);
+    #                acc R q(.5), R acc, W acc                          = 7
+    # (int8 sweeps counted at half a bf16 pass)
+    model_passes = {
+        "copy": 3.0, "reduce": 1.0, "xla_chain": 4.0, "pallas_bf16": 6.0,
+        "pallas_int8": 5.0, "xla_int8": 7.0,
+    }[variant]
+    model_bytes = model_passes * bytes_1pass
+
+    use_pallas = variant.startswith("pallas")
+    quant = variant.endswith("int8")
 
     if variant == "copy":
-        def one(x):
-            return (x + jnp.bfloat16(1.0)).astype(jnp.float32).mean()
+        def one(x, acc):
+            return acc + (x + jnp.bfloat16(1.0))
     elif variant == "reduce":
-        def one(x):
-            return x.astype(jnp.float32).sum(axis=(1, 2)).mean()
+        def one(x, acc):
+            return acc + x.astype(jnp.float32).sum(axis=(0, 1, 2))
+    elif variant == "xla_int8":
+        # the unfused int8 chain as the loop ran it pre-fusion: reference
+        # norm chain, then a standalone absmax reduce + quantize pass
+        def one(x, acc):
+            y = _fused_impl(x, gamma, beta, fs, fh, groups, 1e-5,
+                            "silu", False, False, False)
+            s = jnp.maximum(jnp.max(jnp.abs(y)).astype(jnp.float32) / 127.0,
+                            1e-12)
+            q = jnp.clip(jnp.round(y.astype(jnp.float32) / s),
+                         -127, 127).astype(jnp.int8)
+            return acc + q.astype(jnp.bfloat16) * s.astype(jnp.bfloat16)
     else:
-        use_pallas = variant.startswith("pallas")
-        quant = variant.endswith("int8")
-
-        def one(x):
+        def one(x, acc):
             out = _fused_impl(x, gamma, beta, fs, fh, groups, 1e-5,
                               "silu", quant, use_pallas, False)
-            y = out[0] if quant else out
-            return y.astype(jnp.float32).mean()
+            if quant:
+                y, qs = out
+                y = (y.astype(jnp.bfloat16)
+                     * qs.reshape(-1, 1, 1, 1).astype(jnp.bfloat16))
+            else:
+                y = out
+            return acc + y
 
+    acc0 = (jnp.zeros((ch,), jnp.float32) if variant == "reduce"
+            else jnp.zeros(xs.shape[1:], jnp.bfloat16))
     # target ~0.6 s per program at an assumed 300 GB/s
     reps = max(16, min(256, int(0.6 / max(model_bytes / 300e9, 1e-6))))
 
     @jax.jit
-    def prog(xs):
+    def prog(xs, acc0):
         def body(acc, i):
-            return acc + one(xs[i % 8]), None
-        acc, _ = lax.scan(body, jnp.float32(0), jnp.arange(reps))
+            return one(xs[i % 8], acc), None
+        acc, _ = lax.scan(body, acc0, jnp.arange(reps))
         return acc
 
     t0 = time.time()
-    np.asarray(prog(xs))
+    np.asarray(prog(xs, acc0))
     compile_s = time.time() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        np.asarray(prog(xs))
+        np.asarray(prog(xs, acc0))
         best = min(best, time.time() - t0)
     per = best / reps
     return {"res": res, "ch": ch, "batch": batch, "variant": variant,
             "reps": reps, "ms": round(per * 1e3, 4),
             "gb_s_model": round(model_bytes / per / 1e9, 1),
-            "model_passes": model_bytes / bytes_1pass,
+            "model_passes": model_passes,
             "compile_s": round(compile_s, 1)}
 
 
@@ -134,7 +172,8 @@ def main():
             for line in fh:
                 try:
                     r = json.loads(line)
-                    done.add((r.get("res"), r.get("ch"), r.get("variant")))
+                    if "error" not in r:   # errored cells retry on resume
+                        done.add((r.get("res"), r.get("ch"), r.get("variant")))
                 except (ValueError, KeyError):
                     pass
     for res, ch in shapes:
