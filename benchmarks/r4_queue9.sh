@@ -51,9 +51,11 @@ for attempt in 1 2 3; do
   grep -q "NORMBW_DONE" "logs/r4/normbw_q9a${attempt}.log" && break
 done
 
-# 4. fused-era backend re-test cells
+# 4. fused-era backend re-test + itemization-completion cells
+#    (no_norm/no_all under the fused default give the fused-era norm
+#    bucket exactly, for the BENCHMARKS oracle-arithmetic update)
 export NLC_STEPPARTS_TAG=fused
-for cell in auto conv_at64; do
+for cell in auto conv_at64 no_norm no_all; do
   run "stepparts_fused_${cell}" timeout 1800 python benchmarks/stepparts.py "$cell"
 done
 unset NLC_STEPPARTS_TAG
