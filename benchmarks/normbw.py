@@ -19,7 +19,12 @@ shape STANDALONE against a same-shape copy yardstick:
 
 Every materializing variant is fenced through a same-shape accumulator
 carry (see bench_one) so XLA cannot elide the output write; the stated
-per-variant pass model includes the accumulator's +2 passes.
+per-variant pass model includes the accumulator's +2 passes. The host
+fetch that fences each timed call must be a SMALL dependent slice of the
+accumulator, not the accumulator itself: the first capture of this probe
+fetched the full 268 MB carry and timed the tunnel's ~20 MB/s stdio
+streaming rate (~13 s per call, "13.7 GB/s copy"), not the device
+(quarantined in normbw_badfence.jsonl; BENCHMARKS "timing traps" #4).
 Interpretation: compare each variant's achieved GB/s (gb_s_model) against
 copy's — parity means the chain is at the memory floor and the residual
 whole-loop norm bucket is not recoverable by a better norm kernel; a
@@ -129,8 +134,9 @@ def bench_one(res, ch, variant, batch=8, groups=32):
 
     acc0 = (jnp.zeros((ch,), jnp.float32) if variant == "reduce"
             else jnp.zeros(xs.shape[1:], jnp.bfloat16))
-    # target ~0.6 s per program at an assumed 300 GB/s
-    reps = max(16, min(256, int(0.6 / max(model_bytes / 300e9, 1e-6))))
+    # target ~1.4 s device time per program at an assumed 700 GB/s so the
+    # per-call tunnel round trip (~28 ms) and the tiny fence fetch stay <2%
+    reps = max(16, min(1024, int(1.4 / max(model_bytes / 700e9, 1e-6))))
 
     @jax.jit
     def prog(xs, acc0):
@@ -139,17 +145,22 @@ def bench_one(res, ch, variant, batch=8, groups=32):
         acc, _ = lax.scan(body, acc0, jnp.arange(reps))
         return acc
 
+    def fence(out):
+        # fetch a small DEPENDENT slice — fetching the full (B,H,W,C) carry
+        # times the tunnel's ~20 MB/s streaming, not the device (docstring)
+        np.asarray(out.ravel()[:256])
+
     t0 = time.time()
-    np.asarray(prog(xs, acc0))
+    fence(prog(xs, acc0))
     compile_s = time.time() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.time()
-        np.asarray(prog(xs, acc0))
+        fence(prog(xs, acc0))
         best = min(best, time.time() - t0)
     per = best / reps
     return {"res": res, "ch": ch, "batch": batch, "variant": variant,
-            "reps": reps, "ms": round(per * 1e3, 4),
+            "fence": "slice256", "reps": reps, "ms": round(per * 1e3, 4),
             "gb_s_model": round(model_bytes / per / 1e9, 1),
             "model_passes": model_passes,
             "compile_s": round(compile_s, 1)}
