@@ -183,14 +183,18 @@ def main():
     kind = os.environ.get("NLC_BENCH_MODEL", "adm")
     if kind == "edm" and not quick:
         return run_edm_bench()
-    # Headline default is W8A8 int8 ('conv'): 0.777 vs 0.746 img/s bf16
-    # (docs/BENCHMARKS.md round-2 table), and the 32^2 study's trained-model
-    # FID cells measured it inside the north-star's 2% clause (18-step:
-    # 7.539 int8 vs 7.555 bf16, -0.2%; 5-step: 12.968 vs 13.274, -2.3%,
-    # int8 better — benchmarks/measurements/r3/study32/, docs/BENCHMARKS.md
-    # "The 32² study"). NLC_BENCH_QUANT=bf16 reproduces the unquantized
-    # loop; the metric string always stamps what ran.
-    quant = os.environ.get("NLC_BENCH_QUANT", "conv")
+    # Headline default is W8A8 int8 with the 'auto' per-shape routing: the
+    # round-4 fused-era re-test (benchmarks/measurements/r4/stepparts.jsonl)
+    # measured auto 0.8974 vs conv 0.876 vs conv@64 0.8883 img/s — the fused
+    # norm epilogue folded away the quantize-boundary cost that made 'auto'
+    # lose in round 2 (0.761 vs 0.777). Quality: 'auto' quantizes a strict
+    # subset of 'conv''s sites (1x1 and strided convs stay bf16, ops/quant.py
+    # routing policy), so the 32^2 study's trained-model FID cells — measured
+    # with 'conv' inside the north-star's 2% clause (18-step: 7.539 int8 vs
+    # 7.555 bf16, -0.2%; 5-step: 12.968 vs 13.274, int8 better —
+    # measurements/r3/study32) — upper-bound its drift. NLC_BENCH_QUANT=bf16
+    # reproduces the unquantized loop; the metric string stamps what ran.
+    quant = os.environ.get("NLC_BENCH_QUANT", "auto")
     quant = None if quant in ("", "bf16", "none") or quick else quant
     res = 64 if quick else 256
     batch = 4 if quick else int(os.environ.get("NLC_BENCH_BATCH", "8"))
@@ -319,8 +323,11 @@ def main():
         # 55.7M SongUNet — a different architecture/resolution than this
         # 552M ADM 256^2 headline model, whose own int8 evidence is the
         # trajectory-drift bounds
-        result["note"] = ("W8A8 int8 + fused norm epilogues; FID-neutral at "
-                          "32^2 on a trained SongUNet (-0.2% at 18 steps, "
+        result["note"] = ("W8A8 int8 ('auto' per-shape routing: 3x3 stride-1 "
+                          "convs int8, 1x1/strided bf16 — a strict subset of "
+                          "the 'conv' backend the quality evidence was "
+                          "measured with) + fused norm epilogues; FID-neutral "
+                          "at 32^2 on a trained SongUNet (-0.2% at 18 steps, "
                           "fallback-embedding FID — measurements/r3/study32) "
                           "with embedding-independent paired evidence 44.9 dB "
                           "PSNR vs the bf16 loop's own samples "
