@@ -229,10 +229,14 @@ def test_int8_conv_under_jit_and_scan():
     np.testing.assert_allclose(np.asarray(out), np.asarray(h), atol=1e-6)
 
 
-def test_int8_adm_pred_50step_drift_conv_backend():
+@pytest.mark.parametrize("backend", ["conv", "auto"])
+def test_int8_adm_pred_50step_drift(backend):
     """The bench default config class: ADM UNet with learned variance, the
-    NLC 'pred' style, and the 'conv' int8 backend — 50-step trajectory
-    drift vs full precision stays bounded."""
+    NLC 'pred' style, and an int8 backend — 50-step trajectory drift vs
+    full precision stays bounded. 'conv' quantizes every interior conv;
+    'auto' (the bench headline default since the round-4 fused-era
+    re-test) routes per shape and quantizes a strict subset of conv's
+    sites, so its drift should land at or under conv's."""
     from nlc_tpu.models.adm_unet import ADMUNet, ADMUNetConfig, ADMSigmaHead
     from nlc_tpu.sched import get_sampler
     from nlc_tpu.engine import DenoiseConfig, ModelBundle, denoise_loop
@@ -244,7 +248,7 @@ def test_int8_adm_pred_50step_drift_conv_backend():
                 use_scale_shift_norm=True, resblock_updown=True,
                 feat_layer=1)
     m_fp = ADMUNet(ADMUNetConfig(**base))
-    m_q = ADMUNet(ADMUNetConfig(**base, quant_backend="conv"))
+    m_q = ADMUNet(ADMUNetConfig(**base, quant_backend=backend))
 
     x0 = jnp.zeros((1, 64, 64, 3))
     t0 = jnp.ones((1,))
