@@ -6,7 +6,9 @@ at <=10 — docs/BENCHMARKS.md); the recommendation was extrapolated to the
 256² flagship where per-step sigma jumps differ. This runs the same
 zero-asset pipeline at 64² (ffhq-class SongUNet config, reference
 edm_image_sample.py:99) with the minimal 6-cell grid the verdict asked for:
-{base, pred, pred_fast} x {18, 10} steps, 1024 samples.
+{base, pred, pred_fast} x {18, 10} steps, 1024 samples — plus two bonus
+int8-conv cells (pred @ 18/10) so the int8 FID-neutrality evidence exists
+at a second spatial scale (ADVICE r3 #3's extrapolation concern).
 
 Same stage/resume discipline as study32.py (idempotent; rerun
 `python benchmarks/study64.py auto` until DONE). FID uses the fallback
@@ -62,13 +64,17 @@ def _over_budget(what: str) -> bool:
               "exiting cleanly for the next queue attempt", flush=True)
         return True
     return False
-SWEEP_GRID = [            # (steps, style) — the verdict's 6 cells
-    (18, "base,base"),
-    (18, "pred_partial,pred"),
-    (18, "pred_fast,pred_fast"),
-    (10, "base,base"),
-    (10, "pred_partial,pred"),
-    (10, "pred_fast,pred_fast"),
+SWEEP_GRID = [            # (steps, style, quant) — the verdict's 6 cells
+    (18, "base,base", ""),
+    (18, "pred_partial,pred", ""),
+    (18, "pred_fast,pred_fast", ""),
+    (10, "base,base", ""),
+    (10, "pred_partial,pred", ""),
+    (10, "pred_fast,pred_fast", ""),
+    # Bonus: int8-conv FID at a second spatial scale (the 32² study measured
+    # FID-neutrality on one architecture/resolution only — ADVICE r3 #3).
+    (18, "pred_partial,pred", "conv"),
+    (10, "pred_partial,pred", "conv"),
 ]
 
 
@@ -168,8 +174,9 @@ def stage_head():
     return done + HEAD_CHUNK_EPOCHS >= HEAD_EPOCHS_TOTAL
 
 
-def _cell_dir(steps, style):
-    return os.path.join(SWEEP, f"s{steps}_{style.replace(',', '-')}")
+def _cell_dir(steps, style, quant=""):
+    tag = f"_q{quant}" if quant else ""
+    return os.path.join(SWEEP, f"s{steps}_{style.replace(',', '-')}{tag}")
 
 
 def stage_sweep():
@@ -182,11 +189,11 @@ def stage_sweep():
         norm_max = json.load(f)["p995"]
     from nlc_tpu.cli.edm_image_sample import get_args, main
     all_done = True
-    for steps, style in SWEEP_GRID:
-        out = _cell_dir(steps, style)
+    for steps, style, quant in SWEEP_GRID:
+        out = _cell_dir(steps, style, quant)
         if os.path.exists(os.path.join(out, "0", "results.json")):
             continue
-        if _over_budget(f"sweep cell s{steps}_{style}") or \
+        if _over_budget(f"sweep cell s{steps}_{style}_{quant}") or \
                 os.path.exists(os.path.join(STUDY, "DEFER")):
             return False
         argv = ["--config", "ffhq", "--load_eps", snap,
@@ -195,6 +202,8 @@ def stage_sweep():
                 "--sample_size", str(SAMPLE_SIZE),
                 "--batch_size", str(SWEEP_BATCH),
                 "--save_folder", out]
+        if quant:
+            argv += ["--quant", quant]
         a, c = get_args(argv)
         a.norm_max = norm_max
         a.norm_min = 0.0
@@ -207,11 +216,11 @@ def stage_sweep():
 
 def report():
     rows = []
-    for steps, style in SWEEP_GRID:
-        p = os.path.join(_cell_dir(steps, style), "0", "results.json")
+    for steps, style, quant in SWEEP_GRID:
+        p = os.path.join(_cell_dir(steps, style, quant), "0", "results.json")
         if os.path.exists(p):
             with open(p) as f:
-                rows.append((steps, style, json.load(f).get("fid")))
+                rows.append((steps, style, quant, json.load(f).get("fid")))
     print(json.dumps(rows, indent=1))
     return rows
 
