@@ -117,12 +117,17 @@ def stage_train():
         return True
     from nlc_tpu.cli.edm_train import get_args, main
     # ffhq-64 class config (reference edm train recipe: ch_mult 1,2,2,2)
+    # state_dump_ticks=1 + max_wall_s: resumable at 50-kimg granularity and
+    # exits cleanly inside the stage budget instead of eating the queue's
+    # outer-timeout SIGTERM mid-chip-program (which has wedged the plane)
+    remaining = max(600.0, BUDGET_S - (time.monotonic() - _T0))
     argv = ["--data", DATA, "--run_dir", EDM_RUN, "--arch", "ddpmpp",
             "--resolution", str(RESOLUTION), "--model_channels", "128",
             "--channel_mult", "1,2,2,2", "--num_blocks", "4",
             "--duration_kimg", str(TRAIN_KIMG), "--batch", str(TRAIN_BATCH),
             "--lr", "2e-4", "--ema_halflife_kimg", "50",
             "--kimg_per_tick", "50", "--snapshot_ticks", "1",
+            "--state_dump_ticks", "1", "--max_wall_s", str(remaining),
             "--dropout", "0.05", "--augment", "0.15"]
     state = _latest(os.path.join(EDM_RUN, "training-state-*"))
     if state:

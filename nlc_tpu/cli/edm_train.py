@@ -51,6 +51,12 @@ def get_args(argv=None):
     p.add_argument("--ema_halflife_kimg", type=float, default=500)
     p.add_argument("--kimg_per_tick", type=int, default=50)
     p.add_argument("--snapshot_ticks", type=int, default=50)
+    p.add_argument("--state_dump_ticks", type=int, default=500,
+                   help="dump resumable training-state every N ticks")
+    p.add_argument("--max_wall_s", type=float, default=None,
+                   help="dump state and exit cleanly at the first tick "
+                        "boundary past this wall budget (resume-friendly "
+                        "alternative to an outer `timeout` SIGTERM)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--xflip", type=int, default=1)
     p.add_argument("--resume_state", type=str, default=None)
@@ -116,6 +122,7 @@ def main(args):
         num_accumulation_rounds=rounds, lr=args.lr,
         ema_halflife_kimg=args.ema_halflife_kimg,
         kimg_per_tick=args.kimg_per_tick, snapshot_ticks=args.snapshot_ticks,
+        state_dump_ticks=args.state_dump_ticks, max_wall_s=args.max_wall_s,
         run_dir=args.run_dir, seed=args.seed)
 
     state, tx = create_edm_train_state(params, loop_cfg)
@@ -124,11 +131,27 @@ def main(args):
         # returns the optax state as raw nested dicts/lists (NamedTuple
         # structure lost) and the first tx.update crashes on `state.mu`
         import numpy as np
-        data = load_pytree(args.resume_state,
-                           target={"params": state.params,
-                                   "opt_state": state.opt_state,
-                                   "cur_nimg": np.asarray(0)})
+        try:
+            data = load_pytree(args.resume_state,
+                               target={"params": state.params,
+                                       "opt_state": state.opt_state,
+                                       "ema_params": state.ema_params,
+                                       "cur_nimg": np.asarray(0)})
+            ema = data["ema_params"]
+        except Exception:
+            # pre-round-4 dumps lack ema_params; restarting the EMA from the
+            # restored params is the closest available state (restarting it
+            # from the fresh random init — the old behavior — contaminates
+            # every snapshot for ~the EMA halflife after resume)
+            data = load_pytree(args.resume_state,
+                               target={"params": state.params,
+                                       "opt_state": state.opt_state,
+                                       "cur_nimg": np.asarray(0)})
+            ema = jax.tree_util.tree_map(jnp.copy, data["params"])
+            logger.log("resume-state has no ema_params (old dump) — "
+                       "EMA restarted from the restored params")
         state = state.replace(params=data["params"], opt_state=data["opt_state"],
+                              ema_params=ema,
                               cur_nimg=jnp.asarray(int(data["cur_nimg"])))
         logger.log("resumed from", args.resume_state)
 

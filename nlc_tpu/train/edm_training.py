@@ -122,6 +122,11 @@ class EDMLoopConfig:
     state_dump_ticks: int = 500
     run_dir: str = "./edm-run"
     seed: int = 0
+    # Clean-exit wall budget: when set, the loop dumps a resumable
+    # training-state and returns at the first tick boundary past this many
+    # seconds, instead of letting an outer `timeout` SIGTERM a live chip
+    # program (which has wedged the tunneled TPU plane — CLAUDE.md).
+    max_wall_s: Optional[float] = None
 
 
 def create_edm_train_state(params, cfg: EDMLoopConfig):
@@ -239,15 +244,27 @@ def edm_training_loop(state: EDMTrainState, train_step: Callable,
             with open(stats_path, "a") as f:
                 f.write(json.dumps({**fields, "timestamp": now}) + "\n")
 
+        out_of_time = (cfg.max_wall_s is not None and not done
+                       and now - start > cfg.max_wall_s)
         if cur_tick % cfg.snapshot_ticks == 0 or done:
             save_pytree({"ema": state.ema_params},
                         os.path.join(cfg.run_dir,
                                      f"network-snapshot-{cur_nimg//1000:06d}"))
-        if cur_tick % cfg.state_dump_ticks == 0 or done:
+        if cur_tick % cfg.state_dump_ticks == 0 or done or out_of_time:
+            # ema_params must be part of the resumable state (the reference's
+            # training-state pickles carry the ema net too —
+            # /root/reference/training/training_loop.py); without it a
+            # resumed run restarts the EMA from whatever the fresh init was
             save_pytree({"params": state.params, "opt_state": state.opt_state,
+                         "ema_params": state.ema_params,
                          "cur_nimg": np.asarray(cur_nimg)},
                         os.path.join(cfg.run_dir,
                                      f"training-state-{cur_nimg//1000:06d}"))
+        if out_of_time:
+            logger.log(f"wall budget ({cfg.max_wall_s:.0f}s) exhausted at "
+                       f"kimg {cur_nimg / 1e3:.4g} — state dumped, exiting "
+                       "cleanly for resume")
+            break
         if done:
             break
         cur_tick += 1

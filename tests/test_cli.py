@@ -250,6 +250,68 @@ def test_edm_full_train_cli_resume_state(tmp_path):
     assert all(np.isfinite(s["Loss/loss"]) for s in stats)
 
 
+def test_edm_train_state_dump_carries_ema_and_wall_budget(tmp_path):
+    """Two round-4 resume-safety properties: (1) training-state dumps carry
+    ema_params and --resume_state restores them exactly (the old dumps
+    omitted the EMA, so every resumed run silently restarted its EMA from
+    the fresh random init and contaminated snapshots for ~a halflife);
+    (2) --max_wall_s exits cleanly at a tick boundary with a resumable
+    state dump, instead of relying on an outer `timeout` SIGTERM."""
+    import glob
+    import jax
+    from PIL import Image
+    from nlc_tpu.cli.edm_train import get_args, main
+    from nlc_tpu.io.checkpoints import load_pytree
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(32):
+        Image.fromarray(rng.randint(0, 255, (16, 16, 3), np.uint8)).save(
+            str(data / f"{i:03d}.png"))
+    run = str(tmp_path / "run")
+    # lr 10: the default 10000-kimg lr ramp scales step-one-kimg updates to
+    # ~1e-4*lr, and the ema-vs-params delta (a fraction of one update) must
+    # stay above fp32 ulp for the identity check below to be meaningful
+    argv = ["--data", str(data), "--run_dir", run, "--arch", "ddpmpp",
+            "--resolution", "16", "--model_channels", "8",
+            "--channel_mult", "1,2", "--num_blocks", "1", "--dropout", "0.0",
+            "--augment", "0", "--duration_kimg", "1", "--batch", "16",
+            "--kimg_per_tick", "1", "--snapshot_ticks", "1",
+            "--state_dump_ticks", "1", "--bf16", "0", "--lr", "10"]
+    main(get_args(argv))
+    states = sorted(glob.glob(os.path.join(run, "training-state-*")))
+    assert states, "training loop wrote no state dump"
+
+    dump = load_pytree(states[-1])
+    assert "ema_params" in dump, "training-state dump lacks ema_params"
+    p_leaves = jax.tree_util.tree_leaves(dump["params"])
+    e_leaves = jax.tree_util.tree_leaves(dump["ema_params"])
+    assert any(np.abs(np.asarray(p) - np.asarray(e)).max() > 0
+               for p, e in zip(p_leaves, e_leaves)), \
+        "ema identical to params — EMA never updated?"
+
+    # resume consumes the 4-key dump (typed ema restore path), and a
+    # --max_wall_s budget exits cleanly before duration with a fresh dump
+    argv2 = list(argv)
+    argv2[argv2.index("--duration_kimg") + 1] = "5"
+    main(get_args(argv2 + ["--resume_state", states[-1],
+                           "--max_wall_s", "0"]))
+    stats = [json.loads(l) for l in open(os.path.join(run, "stats.jsonl"))]
+    assert stats[-1]["Progress/kimg"] < 5.0, "max_wall_s=0 did not stop early"
+    states2 = sorted(glob.glob(os.path.join(run, "training-state-*")))
+    assert "ema_params" in load_pytree(states2[-1])
+
+    # pre-round-4 dumps lack ema_params: the fallback path must restore
+    # params/opt and restart the EMA from them instead of crashing
+    from nlc_tpu.io.checkpoints import save_pytree
+    old = dict(load_pytree(states[-1]))
+    old.pop("ema_params")
+    old_dir = str(tmp_path / "oldstate")
+    save_pytree(old, old_dir)
+    main(get_args(argv2 + ["--resume_state", old_dir, "--max_wall_s", "0"]))
+
+
 def test_sample_cli_loads_orbax_checkpoints(store, tmp_path):
     """--load_eps/--load_sigma accept orbax dirs (trainer checkpoints and
     convert_checkpoint output), not just torch files."""
