@@ -24,6 +24,7 @@ import json
 import os
 import re
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,6 +39,10 @@ FID_NPZ = os.path.join(STUDY, "fid.npz")
 EDM_RUN = os.path.join(STUDY, "edm")
 SIGMA_DIR = os.path.join(STUDY, "sigma")
 SWEEP = os.path.join(STUDY, "sweep")
+
+# wall budget for the train stage's clean exit (see study64.py)
+BUDGET_S = float(os.environ.get("NLC_STUDY_BUDGET_S", "3800"))
+_T0 = time.monotonic()
 
 N_IMAGES = 4096
 RESOLUTION = 32
@@ -152,12 +157,15 @@ def stage_train():
     if snap and int(re.search(r"(\d+)$", snap).group(1)) >= TRAIN_KIMG:
         return True
     from nlc_tpu.cli.edm_train import get_args, main
+    # resumable at 50-kimg granularity + clean in-budget exit (see study64)
+    remaining = max(600.0, BUDGET_S - (time.monotonic() - _T0))
     argv = ["--data", DATA, "--run_dir", EDM_RUN, "--arch", "ddpmpp",
             "--resolution", str(RESOLUTION), "--model_channels", "128",
             "--channel_mult", "2,2,2", "--num_blocks", "4",
             "--duration_kimg", str(TRAIN_KIMG), "--batch", str(TRAIN_BATCH),
             "--lr", "1e-3", "--ema_halflife_kimg", "50",
             "--kimg_per_tick", "50", "--snapshot_ticks", "1",
+            "--state_dump_ticks", "1", "--max_wall_s", str(remaining),
             "--dropout", "0.13", "--augment", "0.12"]
     state = _latest(os.path.join(EDM_RUN, "training-state-*"))
     if state:
