@@ -75,6 +75,11 @@ SWEEP_GRID = [            # (steps, style, quant) — the verdict's 6 cells
     # FID-neutrality on one architecture/resolution only — ADVICE r3 #3).
     (18, "pred_partial,pred", "conv"),
     (10, "pred_partial,pred", "conv"),
+    # Follow-up: the NLC int8 cells measured +6-7% vs bf16 here; these
+    # isolate whether that is raw int8 drift or int8 interacting with the
+    # NLC correction loop (the sigma head reads int8-perturbed features).
+    (18, "base,base", "conv"),
+    (10, "base,base", "conv"),
 ]
 
 
