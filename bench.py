@@ -329,11 +329,14 @@ def main():
                           "measured with) + fused norm epilogues; FID-neutral "
                           "at 32^2 on a trained SongUNet (-0.2% at 18 steps, "
                           "fallback-embedding FID — measurements/r3/study32) "
-                          "with embedding-independent paired evidence 44.9 dB "
-                          "PSNR vs the bf16 loop's own samples "
-                          "(measurements/r4/int8_paired_quality.json); "
-                          "extrapolated to this 256^2 ADM model, where int8 "
-                          "evidence is drift bounds (tests/test_quant.py); "
+                          "but +6-7% on the 64^2 NLC loop with full 'conv' "
+                          "quant (measurements/r4/study64_results.json — "
+                          "scale-dependent, see BENCHMARKS 'The 64^2 "
+                          "study'), with embedding-independent paired "
+                          "evidence 44.9 dB PSNR vs the bf16 loop's own "
+                          "samples (measurements/r4/int8_paired_quality"
+                          ".json); on this 256^2 ADM model int8 evidence is "
+                          "drift bounds (tests/test_quant.py); "
                           "NLC_BENCH_QUANT=bf16 reproduces the unquantized "
                           "loop")
     print(json.dumps(result))
