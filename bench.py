@@ -86,15 +86,44 @@ def probe_device() -> tuple[bool, str]:
     return False, f"device probe failed rc={cp.returncode}: {(cp.stderr or cp.stdout)[-300:]}"
 
 
-def start_watchdog() -> None:
+def start_watchdog(budget_s: float) -> None:
     def fire():
-        time.sleep(DEADLINE_S)
-        log(f"watchdog: bench exceeded {DEADLINE_S}s deadline; aborting")
-        print(error_json(f"bench exceeded {DEADLINE_S}s deadline (device stalled mid-run)"),
+        time.sleep(budget_s)
+        log(f"watchdog: bench exceeded {budget_s:.0f}s budget; aborting")
+        print(error_json(f"bench exceeded {budget_s:.0f}s budget (device stalled mid-run)"),
               flush=True)
         os._exit(3)
 
     threading.Thread(target=fire, daemon=True).start()
+
+
+def probe_until_healthy() -> tuple[bool, str]:
+    """Retry the health probe every ~5 min within the deadline.
+
+    Round-4 lesson (VERDICT r4 weak #5): the one-shot fail-fast zeroed the
+    round's official bench on a TRANSIENT tunnel outage — the r4 ledger shows
+    the plane recovered ~70 min after a re-image boot. Retry as long as the
+    deadline still leaves room for the bench itself (RESERVE_S), so a
+    transient drop costs minutes, not the round; a genuinely wedged plane
+    still produces a parseable error line before the driver's own timeout.
+    """
+    reserve = int(os.environ.get("NLC_BENCH_RESERVE", "1500"))
+    retry_sleep = int(os.environ.get("NLC_BENCH_PROBE_RETRY", "300"))
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        ok, msg = probe_device()
+        if ok:
+            return True, msg
+        elapsed = time.monotonic() - t0
+        remaining = DEADLINE_S - elapsed
+        if remaining < reserve + retry_sleep + PROBE_TIMEOUT_S:
+            return False, (f"{msg} (probe attempt {attempt} failed after "
+                           f"{elapsed:.0f}s of retries)")
+        log(f"probe attempt {attempt} failed ({msg}); retrying in "
+            f"{retry_sleep}s ({remaining:.0f}s of deadline left)")
+        time.sleep(retry_sleep)
 
 
 def run_edm_bench():
@@ -343,13 +372,14 @@ def main():
 
 
 if __name__ == "__main__":
-    ok, msg = probe_device()
+    _t_start = time.monotonic()
+    ok, msg = probe_until_healthy()
     if not ok:
         log("FAIL-FAST:", msg)
         print(error_json(msg), flush=True)
         sys.exit(2)
     log("probe:", msg)
-    start_watchdog()
+    start_watchdog(max(60.0, DEADLINE_S - (time.monotonic() - _t_start)))
     try:
         main()
     except Exception as e:  # device faults etc: fall back so the driver

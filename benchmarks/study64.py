@@ -213,6 +213,11 @@ def stage_sweep():
         # budget exit keeps the highest-value comparisons
         by_tag = {os.path.basename(_cell_dir(s, st, q)): (s, st, q)
                   for s, st, q in SWEEP_GRID}
+        unknown = [t for t in cell_filter if t not in by_tag]
+        if unknown:
+            raise SystemExit(
+                f"NLC_STUDY64_CELLS has unknown tags {unknown}; "
+                f"valid tags: {sorted(by_tag)}")
         grid = [by_tag[t] for t in cell_filter]
     for steps, style, quant in grid:
         out = _cell_dir(steps, style, quant)
@@ -234,8 +239,19 @@ def stage_sweep():
         a.norm_min = 0.0
         r = main(a, c)
         print("cell", steps, style, "->", r)
-        all_done = all_done and os.path.exists(
-            os.path.join(out, "0", "results.json"))
+        rp = os.path.join(out, "0", "results.json")
+        if os.path.exists(rp):
+            # Provenance stamp (ADVICE r4): record WHICH eps snapshot the
+            # cell sampled, so the summarizer can assert every compared cell
+            # ran on one model (a stale pre-re-image cell would otherwise
+            # silently break the internal-controls claim).
+            with open(rp) as f:
+                rj = json.load(f)
+            rj["eps_snapshot"] = os.path.abspath(snap)
+            rj["eps_kimg"] = int(re.search(r"(\d+)$", snap).group(1))
+            with open(rp, "w") as f:
+                json.dump(rj, f, indent=1)
+        all_done = all_done and os.path.exists(rp)
     return all_done
 
 
