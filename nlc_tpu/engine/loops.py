@@ -80,6 +80,18 @@ class DenoiseConfig:
     recal_sigma_prev: bool = False
     stop_condition: float = 0.0
     max_T: Optional[int] = None
+    # Inference eps-eval microbatching (reference experiments.py:436-450:
+    # `microbatch = max(len(xt)//chunk_size, 1)` splits ONLY the full eps
+    # forward into chunk_size pieces; the encode+sigma-head stays full
+    # batch). TPU redesign: a lax.map over statically-shaped chunks inside
+    # the jitted step — peak eps-forward activation memory drops ~chunk_size
+    # x at the cost of serializing the chunks. Default 1 (off): on TPU the
+    # batch-size flag is the natural memory knob and large fused batches are
+    # what the MXU wants; the parameter exists for HBM-constrained configs
+    # (reference engine default is 2 but every reference CLI passes 1).
+    # Deviation: batch must divide by chunk_size (static shapes) — the
+    # reference tolerates ragged last chunks; we fall back to one full pass.
+    chunk_size: int = 1
 
 
 def set_norm_maxmin(data_shape: Sequence[int], norm_min: Optional[float],
@@ -168,7 +180,18 @@ def _forward_eps(sampler: Sampler, bundle: ModelBundle, cfg: DenoiseConfig,
     (reference experiments.py:436-459)."""
     abar = 1.0 / (sigma_t ** 2 + 1.0)
     zt = xt * jnp.sqrt(abar)
-    eps_out = bundle.forward(params, zt, t)
+    n_chunks = max(int(getattr(cfg, "chunk_size", 1)), 1)
+    b = zt.shape[0]
+    if n_chunks > 1 and b % n_chunks == 0:
+        # eps-eval microbatching (see DenoiseConfig.chunk_size): serialize
+        # the forward over chunk_size statically-shaped slices via lax.map
+        zc = zt.reshape(n_chunks, b // n_chunks, *zt.shape[1:])
+        tc = t.reshape(n_chunks, b // n_chunks)
+        eps_c = jax.lax.map(lambda a: bundle.forward(params, a[0], a[1]),
+                            (zc, tc))
+        eps_out = eps_c.reshape(b, *eps_c.shape[2:])
+    else:
+        eps_out = bundle.forward(params, zt, t)
     if bundle.learn_epsvar:
         c = eps_out.shape[-1] // 2
         eps_mean, learned_logvar = eps_out[..., :c], eps_out[..., c:]
