@@ -86,6 +86,13 @@ SWEEP_GRID = [            # (steps, style, quant) — the verdict's 6 cells
     # NLC correction loop (the sigma head reads int8-perturbed features).
     (18, "base,base", "conv"),
     (10, "base,base", "conv"),
+    # Round-5 (VERDICT r4 #5): few-step crossover cells — the regime where
+    # the 162/322 studies demonstrated the NLC win, previously unmeasured
+    # at this scale (the repo's only 64^2 quality table was anti-NLC).
+    (5, "base,base", ""),
+    (5, "pred_partial,pred", ""),
+    (3, "base,base", ""),
+    (3, "pred_partial,pred", ""),
 ]
 
 
