@@ -1,18 +1,22 @@
-"""Self-hosted 64² study cell: the pred_fast validity boundary at a second
-spatial scale (VERDICT r3 #6).
+"""Self-hosted NLC study on the ADM architecture family at 32² (VERDICT r4
+next-#3).
 
-Round 3 bisected pred_fast's boundary at 32² only (safe at 18 steps, broken
-at <=10 — docs/BENCHMARKS.md); the recommendation was extrapolated to the
-256² flagship where per-step sigma jumps differ. This runs the same
-zero-asset pipeline at 64² (ffhq-class SongUNet config, reference
-edm_image_sample.py:99) with the minimal 6-cell grid the verdict asked for:
-{base, pred, pred_fast} x {18, 10} steps, 1024 samples — plus two bonus
-int8-conv cells (pred @ 18/10) so the int8 FID-neutrality evidence exists
-at a second spatial scale (ADVICE r3 #3's extrapolation concern).
+Every prior self-hosted NLC quality study (16²/32²/64²) used SongUNet/
+DDIM-class backbones, while the flagship bench and the reference's headline
+FID claims run the learned-variance ADM UNet (reference image_sample.py:145,
+src/unet_adm.py:396-731). This study closes that architecture axis: a
+from-scratch iDDPM-trained ADM-UNet (cli/ddpm_train.py, reduced
+cifar10_adm config class) + trained ADM sigma head, sampled through the
+same NLC-DDIM loop/flags the flagship bench uses (ddim_simple_orig,
+learned variance, eta 0.85, clamp, norm_eps, refine, threshold 960).
 
-Same stage/resume discipline as study32.py (idempotent; rerun
-`python benchmarks/study64.py auto` until DONE). FID uses the fallback
-embedding — relative comparisons only, stamped in results.json.
+Cells: {18,10,5} steps x {base, pred, pred_fast} + int8-conv isolation
+cells (pred@18/10 + base@18) — the NLC few-step crossover, the pred_fast
+boundary, and int8 FID-neutrality, all on the ADM family.
+
+Same stage/resume discipline as study64.py: idempotent; rerun
+`python benchmarks/study32_adm.py auto` until DONE. Fallback-embedding FID
+(relative comparisons within this table only).
 """
 from __future__ import annotations
 
@@ -29,39 +33,56 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from study32 import gen_image, _latest  # noqa: E402  (shared helpers)
 
 STUDY = os.environ.get(
-    "NLC_STUDY64_DIR",
+    "NLC_STUDY_ADM_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "study64"))
+                 "study32_adm"))
 DATA = os.path.join(STUDY, "data")
 FID_NPZ = os.path.join(STUDY, "fid.npz")
-EDM_RUN = os.path.join(STUDY, "edm")
+RUN = os.path.join(STUDY, "ddpm")
 SIGMA_DIR = os.path.join(STUDY, "sigma")
 SWEEP = os.path.join(STUDY, "sweep")
+STORE = os.path.join(STUDY, "store")
+CFG_NAME = "study_adm"
 
-N_IMAGES = 4096
-RESOLUTION = 64
-# Wall-budget overrides (round-4 tail): the third VM re-image erased the
-# 400-kimg model the queued base-int8 isolation cells were meant to sample,
-# and a full retrain does not fit the remaining session. A shorter-trained
-# fresh model with ALL compared cells re-run on it (internal controls) still
-# answers the isolation question — the measurement is the int8-vs-bf16 FID
-# delta within one model, not absolute quality.
-TRAIN_KIMG = int(os.environ.get("NLC_STUDY64_KIMG", "400"))
-TRAIN_BATCH = 128
-HEAD_EPOCHS_TOTAL = int(os.environ.get("NLC_STUDY64_HEAD_EPOCHS", "24"))
-HEAD_CHUNK_EPOCHS = 8
-HEAD_ITERS = 500
-HEAD_BATCH = 64
-SAMPLE_SIZE = 1024
-SWEEP_BATCH = 128
-# Self-imposed wall budget: don't START a new stage or sweep cell past this
-# point, so the process exits cleanly between chip programs instead of the
-# queue's outer `timeout` SIGTERM-ing an in-flight compile (which has wedged
-# the tunneled TPU plane before — CLAUDE.md). The longest single unit here
-# is one sweep cell (~950 s compile + sampling), so 3800 + ~1100 stays well
-# inside the queue's 5400 s backstop.
+N_IMAGES = int(os.environ.get("NLC_STUDY_ADM_N", "4096"))
+RESOLUTION = int(os.environ.get("NLC_STUDY_ADM_RES", "32"))
+TRAIN_KIMG = int(os.environ.get("NLC_STUDY_ADM_KIMG", "300"))
+TRAIN_BATCH = int(os.environ.get("NLC_STUDY_ADM_BATCH", "128"))
+HEAD_EPOCHS_TOTAL = int(os.environ.get("NLC_STUDY_ADM_HEAD_EPOCHS", "16"))
+HEAD_CHUNK_EPOCHS = int(os.environ.get("NLC_STUDY_ADM_HEAD_CHUNK", "8"))
+HEAD_ITERS = int(os.environ.get("NLC_STUDY_ADM_HEAD_ITERS", "500"))
+HEAD_BATCH = int(os.environ.get("NLC_STUDY_ADM_HEAD_BATCH", "128"))
+SAMPLE_SIZE = int(os.environ.get("NLC_STUDY_ADM_SAMPLES", "1024"))
+SWEEP_BATCH = int(os.environ.get("NLC_STUDY_ADM_SWEEP_BATCH", "256"))
+MODEL_CHANNELS = int(os.environ.get("NLC_STUDY_ADM_CHANNELS", "128"))
+CHANNEL_MULT = os.environ.get("NLC_STUDY_ADM_CHANNEL_MULT", "")
 BUDGET_S = float(os.environ.get("NLC_STUDY_BUDGET_S", "3800"))
 _T0 = time.monotonic()
+
+# ADM flagship NLC-DDIM flags (bench.py / METHOD presets), fixed across cells
+COMMON_FLAGS = [
+    "--sampling", "denoise", "--method", "default",
+    "--sampler", "ddim_simple_orig", "--sampler_var", "learned",
+    "--eta", "0.85", "--clip_fn", "clamp", "--norm_eps", "1",
+    "--refine_sigma", "1", "--sigma_pred_threshold", "960",
+    "--continuous_t", "1", "--final_alpha_one", "1",
+]
+
+SWEEP_GRID = [            # (steps, sigma_type, quant)
+    (18, "base", ""),
+    (18, "pred", ""),
+    (10, "base", ""),
+    (10, "pred", ""),
+    (5, "base", ""),
+    (5, "pred", ""),
+    (18, "pred_fast", ""),
+    (10, "pred_fast", ""),
+    (5, "pred_fast", ""),
+    # int8 isolation (mirrors the study64 isolation cells on this family)
+    (18, "pred", "conv"),
+    (10, "pred", "conv"),
+    (18, "base", "conv"),
+]
 
 
 def _over_budget(what: str) -> bool:
@@ -70,36 +91,32 @@ def _over_budget(what: str) -> bool:
               "exiting cleanly for the next queue attempt", flush=True)
         return True
     return False
-SWEEP_GRID = [            # (steps, style, quant) — the verdict's 6 cells
-    (18, "base,base", ""),
-    (18, "pred_partial,pred", ""),
-    (18, "pred_fast,pred_fast", ""),
-    (10, "base,base", ""),
-    (10, "pred_partial,pred", ""),
-    (10, "pred_fast,pred_fast", ""),
-    # Bonus: int8-conv FID at a second spatial scale (the 32² study measured
-    # FID-neutrality on one architecture/resolution only — ADVICE r3 #3).
-    (18, "pred_partial,pred", "conv"),
-    (10, "pred_partial,pred", "conv"),
-    # Follow-up: the NLC int8 cells measured +6-7% vs bf16 here; these
-    # isolate whether that is raw int8 drift or int8 interacting with the
-    # NLC correction loop (the sigma head reads int8-perturbed features).
-    (18, "base,base", "conv"),
-    (10, "base,base", "conv"),
-    # Round-5 (VERDICT r4 #5): few-step crossover cells — the regime where
-    # the 162/322 studies demonstrated the NLC win, previously unmeasured
-    # at this scale (the repo's only 64^2 quality table was anti-NLC).
-    (5, "base,base", ""),
-    (5, "pred_partial,pred", ""),
-    (3, "base,base", ""),
-    (3, "pred_partial,pred", ""),
-    # Round-5: the bench default's ACTUAL routing ('auto' quantizes a
-    # strict subset of 'conv''s sites) measured directly at this scale —
-    # the 2%-clause decision should rest on the shipped backend, not on
-    # the full-'conv' upper bound alone.
-    (18, "pred_partial,pred", "auto"),
-    (10, "pred_partial,pred", "auto"),
-]
+
+
+def write_config() -> str:
+    """Reduced cifar10_adm class config (the reference's 32² ADM family:
+    learned variance, cosine betas, scale-shift norm, resblock up/down)."""
+    import yaml
+    cdir = os.path.join(STORE, "config")
+    os.makedirs(cdir, exist_ok=True)
+    path = os.path.join(cdir, CFG_NAME + ".yml")
+    cfg = {
+        "model": {"type": "openai", "image_size": RESOLUTION,
+                  "num_channels": MODEL_CHANNELS, "num_res_blocks": 2,
+                  "channel_mult": CHANNEL_MULT, "learn_sigma": True,
+                  "class_cond": False, "attention_resolutions": "16,8",
+                  "num_heads": 4, "num_head_channels": 64,
+                  "num_heads_upsample": -1, "use_scale_shift_norm": True,
+                  "dropout": 0.05, "resblock_updown": True,
+                  "use_new_attention_order": True, "feat_layer": 1},
+        "data": {"dataset": "CIFAR10", "image_size": RESOLUTION,
+                 "channels": 3},
+        "diffusion": {"num_diffusion_timesteps": 1000,
+                      "beta_schedule": "cosine"},
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
 
 
 def stage_data():
@@ -119,7 +136,8 @@ def stage_data():
                        np.float32) / 127.5 - 1
         arrs.append(np.linalg.norm(a.ravel()))
     norms = np.array(arrs)
-    stats = {"mean": float(norms.mean()), "p995": float(np.quantile(norms, .995)),
+    stats = {"mean": float(norms.mean()),
+             "p995": float(np.quantile(norms, .995)),
              "max": float(norms.max())}
     with open(os.path.join(STUDY, "norm.json"), "w") as f:
         json.dump(stats, f)
@@ -136,28 +154,22 @@ def stage_stats():
 
 
 def stage_train():
-    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    snap = _latest(os.path.join(RUN, "network-snapshot-*"))
     if snap and int(re.search(r"(\d+)$", snap).group(1)) >= TRAIN_KIMG:
         return True
-    from nlc_tpu.cli.edm_train import get_args, main
-    # ffhq-64 class config (reference edm train recipe: ch_mult 1,2,2,2)
-    # state_dump_ticks=1 + max_wall_s: resumable at 50-kimg granularity and
-    # exits cleanly inside the stage budget instead of eating the queue's
-    # outer-timeout SIGTERM mid-chip-program (which has wedged the plane)
+    cfgp = write_config()
+    from nlc_tpu.cli.ddpm_train import get_args, main
     remaining = max(600.0, BUDGET_S - (time.monotonic() - _T0))
-    argv = ["--data", DATA, "--run_dir", EDM_RUN, "--arch", "ddpmpp",
-            "--resolution", str(RESOLUTION), "--model_channels", "128",
-            "--channel_mult", "1,2,2,2", "--num_blocks", "4",
+    argv = ["--config", cfgp, "--data", DATA, "--run_dir", RUN,
             "--duration_kimg", str(TRAIN_KIMG), "--batch", str(TRAIN_BATCH),
-            "--lr", "2e-4", "--ema_halflife_kimg", "50",
+            "--lr", "1e-4", "--ema_halflife_kimg", "25",
             "--kimg_per_tick", "50", "--snapshot_ticks", "1",
-            "--state_dump_ticks", "1", "--max_wall_s", str(remaining),
-            "--dropout", "0.05", "--augment", "0.15"]
-    state = _latest(os.path.join(EDM_RUN, "training-state-*"))
+            "--state_dump_ticks", "1", "--max_wall_s", str(remaining)]
+    state = _latest(os.path.join(RUN, "training-state-*"))
     if state:
         argv += ["--resume_state", state]
     main(get_args(argv))
-    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    snap = _latest(os.path.join(RUN, "network-snapshot-*"))
     return bool(snap and int(re.search(r"(\d+)$", snap).group(1)) >= TRAIN_KIMG)
 
 
@@ -169,8 +181,6 @@ def _head_epochs_done():
         with open(p) as f:
             return json.load(f)["epochs_done"]
     except (ValueError, KeyError):
-        # a malformed marker is also how an in-flight OLD-code attempt was
-        # stopped at the train/head boundary (host-side, pre-dispatch)
         return 0
 
 
@@ -178,17 +188,20 @@ def stage_head():
     done = _head_epochs_done()
     if done >= HEAD_EPOCHS_TOTAL:
         return True
-    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    snap = _latest(os.path.join(RUN, "network-snapshot-*"))
     assert snap, "train stage incomplete"
-    from nlc_tpu.cli.run_edm_experiment import get_args, main
+    write_config()
+    from nlc_tpu.cli.run_image_experiment import get_args, main
     last = HEAD_CHUNK_EPOCHS - 1
-    argv = ["--config", "ffhq", "--load_eps", snap, "--data_dir", DATA,
+    argv = ["--config", "cifar10", "--config_path", CFG_NAME,
+            "--store_dir", STORE, "--load_eps", snap, "--data_dir", DATA,
             "--fid_target", FID_NPZ, "--result_dir", SIGMA_DIR,
+            "--sigma_block", "2", "--feat_layer", "1",
             "--epoch", str(HEAD_CHUNK_EPOCHS),
             "--iter_per_epoch", str(HEAD_ITERS), "--save_per_epoch", "0",
             "--eval_per_epoch", "0", "--batch_size", str(HEAD_BATCH),
             "--ema_rate", "0.9995", "--lr", "3e-4"]
-    d = os.path.join(SIGMA_DIR, "ffhq", "0")
+    d = os.path.join(SIGMA_DIR, "cifar10", "0")
     if done:
         argv += ["--load_folder", "0",
                  "--resume_model", os.path.join(d, f"sigma_ckpt_{last}"),
@@ -205,59 +218,56 @@ def stage_head():
 
 def _cell_dir(steps, style, quant=""):
     tag = f"_q{quant}" if quant else ""
-    return os.path.join(SWEEP, f"s{steps}_{style.replace(',', '-')}{tag}")
+    return os.path.join(SWEEP, f"s{steps}_{style}{tag}")
 
 
 def stage_sweep():
-    snap = _latest(os.path.join(EDM_RUN, "network-snapshot-*"))
+    snap = _latest(os.path.join(RUN, "network-snapshot-*"))
     assert snap, "train stage incomplete"
     assert _head_epochs_done() >= HEAD_EPOCHS_TOTAL, "head stage incomplete"
-    head = os.path.join(SIGMA_DIR, "ffhq", "0",
+    head = os.path.join(SIGMA_DIR, "cifar10", "0",
                         f"ema_sigma_ckpt_{HEAD_CHUNK_EPOCHS - 1}")
     with open(os.path.join(STUDY, "norm.json")) as f:
         norm_max = json.load(f)["p995"]
-    from nlc_tpu.cli.edm_image_sample import get_args, main
+    write_config()
+    from nlc_tpu.cli.image_sample import get_args, main
     all_done = True
     grid = SWEEP_GRID
     cell_filter = [t for t in
-                   os.environ.get("NLC_STUDY64_CELLS", "").split(",") if t]
+                   os.environ.get("NLC_STUDY_ADM_CELLS", "").split(",") if t]
     if cell_filter:
-        # run ONLY the named cells, in the filter's priority order, so a
-        # budget exit keeps the highest-value comparisons
         by_tag = {os.path.basename(_cell_dir(s, st, q)): (s, st, q)
                   for s, st, q in SWEEP_GRID}
         unknown = [t for t in cell_filter if t not in by_tag]
         if unknown:
             raise SystemExit(
-                f"NLC_STUDY64_CELLS has unknown tags {unknown}; "
+                f"NLC_STUDY_ADM_CELLS has unknown tags {unknown}; "
                 f"valid tags: {sorted(by_tag)}")
         grid = [by_tag[t] for t in cell_filter]
     for steps, style, quant in grid:
         out = _cell_dir(steps, style, quant)
-        if os.path.exists(os.path.join(out, "0", "results.json")):
+        rp = os.path.join(out, "0", "results.json")
+        if os.path.exists(rp):
             continue
         if _over_budget(f"sweep cell s{steps}_{style}_{quant}") or \
                 os.path.exists(os.path.join(STUDY, "DEFER")):
             return False
-        argv = ["--config", "ffhq", "--load_eps", snap,
+        argv = ["--config", "cifar10", "--config_path", CFG_NAME,
+                "--store_dir", STORE, "--load_eps", snap,
                 "--load_sigma", head, "--fid_target", FID_NPZ,
                 "--sigma_type", style, "--num_timesteps", str(steps),
                 "--sample_size", str(SAMPLE_SIZE),
                 "--batch_size", str(SWEEP_BATCH),
-                "--save_folder", out]
+                "--save_folder", out, "--save_flag", "0"] + COMMON_FLAGS
         if quant:
             argv += ["--quant", quant]
         a, c = get_args(argv)
         a.norm_max = norm_max
         a.norm_min = 0.0
         r = main(a, c)
-        print("cell", steps, style, "->", r)
-        rp = os.path.join(out, "0", "results.json")
+        print("cell", steps, style, quant, "->",
+              {k: v for k, v in (r or {}).items() if k != "full_log"})
         if os.path.exists(rp):
-            # Provenance stamp (ADVICE r4): record WHICH eps snapshot the
-            # cell sampled, so the summarizer can assert every compared cell
-            # ran on one model (a stale pre-re-image cell would otherwise
-            # silently break the internal-controls claim).
             with open(rp) as f:
                 rj = json.load(f)
             rj["eps_snapshot"] = os.path.abspath(snap)
@@ -279,8 +289,9 @@ def report():
     return rows
 
 
-STAGES = [("data", stage_data), ("stats", stage_stats), ("train", stage_train),
-          ("head", stage_head), ("sweep", stage_sweep)]
+STAGES = [("data", stage_data), ("stats", stage_stats),
+          ("train", stage_train), ("head", stage_head),
+          ("sweep", stage_sweep)]
 
 
 def main():

@@ -133,6 +133,11 @@ def get_args(argv=None):
     p.add_argument("--parallel_window", type=int, default=0)
     p.add_argument("--picard_iters", type=int, default=0)
     p.add_argument("--bf16", type=int, default=1)
+    # W8A8 int8 interior convs (ops/quant.py), same surface as
+    # edm_image_sample --quant; '' keeps the bf16 loop
+    p.add_argument("--quant", type=str, default="",
+                   help="int8 conv backend: conv|taps|im2col|pallas|auto, "
+                        "optional @N resolution floor (e.g. auto, conv@64)")
 
     args = p.parse_args(argv)
     if args.config_path is None:
@@ -188,7 +193,8 @@ def build_models_and_params(args, config):
             resblock_updown=mcfg.get("resblock_updown", False),
             use_new_attention_order=mcfg.get("use_new_attention_order", False),
             sigma_block=args.sigma_block, sigma_dropout=args.sigma_dropout,
-            feat_layer=mcfg.get("feat_layer", 1), dtype=dtype)
+            feat_layer=mcfg.get("feat_layer", 1), dtype=dtype,
+            quant_backend=getattr(args, "quant", "") or None)
         convert_unet = partial(convert_adm_unet, config=ucfg)
         convert_head_fn = lambda sd: convert_adm_sigma_head(
             sd, ucfg.feat_shape[0], ucfg.feat_shape[2], args.sigma_block)
@@ -197,7 +203,9 @@ def build_models_and_params(args, config):
     else:
         config.model.sigma_block = args.sigma_block
         config.model.sigma_dropout = args.sigma_dropout
-        model, head, ucfg = create_simple_sigma_eps_model(config, dtype=dtype)
+        model, head, ucfg = create_simple_sigma_eps_model(
+            config, dtype=dtype,
+            quant_backend=getattr(args, "quant", "") or None)
         convert_unet = partial(convert_ddim_unet, config=ucfg)
         hcfg = type("H", (), {"dim": ucfg.feat_shape[0],
                               "channels": ucfg.feat_shape[2],
@@ -210,9 +218,11 @@ def build_models_and_params(args, config):
     x0 = jnp.zeros((1, res, res, 3))
     t0 = jnp.zeros((1,))
     if args.load_eps and os.path.exists(args.load_eps):
-        if os.path.isdir(args.load_eps):   # orbax dir (convert_checkpoint out)
-            from ..io.checkpoints import load_pytree
+        if os.path.isdir(args.load_eps):   # orbax dir (convert_checkpoint
+            from ..io.checkpoints import load_pytree  # or ddpm_train snapshot)
             tree = load_pytree(args.load_eps)
+            if "ema" in tree:              # network-snapshot-* layout
+                tree = tree["ema"]
             params = tree if "params" in tree else {"params": tree}
         else:
             sd = load_torch_state_dict(args.load_eps)

@@ -166,6 +166,8 @@ def main(args, config):
         if os.path.isdir(args.load_eps):   # orbax dir
             from ..io.checkpoints import load_pytree
             tree = load_pytree(args.load_eps)
+            if "ema" in tree:              # network-snapshot-* layout
+                tree = tree["ema"]
             frozen_params = tree if "params" in tree else {"params": tree}
         else:
             sd = load_torch_state_dict(args.load_eps)

@@ -45,7 +45,8 @@ def create_sigma_eps_model(image_size: int, num_channels: int, num_res_blocks: i
                            resblock_updown: bool = False,
                            use_new_attention_order: bool = False,
                            sigma_block: int = 2, sigma_dropout: float = 0.0,
-                           feat_layer: int = 1, dtype=jnp.float32, **_ignored):
+                           feat_layer: int = 1, dtype=jnp.float32,
+                           quant_backend=None, **_ignored):
     if channel_mult == "":
         cm = default_channel_mult(image_size)
     else:
@@ -59,7 +60,8 @@ def create_sigma_eps_model(image_size: int, num_channels: int, num_res_blocks: i
         num_classes=NUM_CLASSES if class_cond else None, num_heads=num_heads,
         num_head_channels=num_head_channels, num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm, resblock_updown=resblock_updown,
-        use_new_attention_order=use_new_attention_order, feat_layer=feat_layer)
+        use_new_attention_order=use_new_attention_order, feat_layer=feat_layer,
+        quant_backend=quant_backend)
     model = ADMUNet(cfg, dtype=dtype)
     d, _, c = cfg.feat_shape[0], cfg.feat_shape[1], cfg.feat_shape[2]
     head = ADMSigmaHead(dim=d, channels=c, n_blocks=sigma_block, out_dim=1,
@@ -69,7 +71,7 @@ def create_sigma_eps_model(image_size: int, num_channels: int, num_res_blocks: i
     return model, head, cfg
 
 
-def create_simple_sigma_eps_model(config, dtype=jnp.float32):
+def create_simple_sigma_eps_model(config, dtype=jnp.float32, quant_backend=None):
     """config: the YAML ConfigDict (model/data/diffusion sections)."""
     m = config.model
     cfg = DDIMUNetConfig(
@@ -77,7 +79,7 @@ def create_simple_sigma_eps_model(config, dtype=jnp.float32):
         num_res_blocks=m.num_res_blocks, attn_resolutions=tuple(m.attn_resolutions),
         dropout=m.dropout, in_channels=m.in_channels,
         resolution=config.data.image_size, resamp_with_conv=m.resamp_with_conv,
-        feat_layer=m.get("feat_layer", 0))
+        feat_layer=m.get("feat_layer", 0), quant_backend=quant_backend)
     model = DDIMUNet(cfg, dtype=dtype)
     hcfg = sigma_head_for_unet(cfg.feat_shape, n_blocks=m.get("sigma_block", 2),
                                dropout=m.get("sigma_dropout", 0.0))

@@ -143,6 +143,21 @@ def create_edm_train_state(params, cfg: EDMLoopConfig):
 def make_edm_train_step(loss_cfg, precond_apply: Callable,
                         tx: optax.GradientTransformation, cfg: EDMLoopConfig,
                         augment_cfg: Optional[AugmentConfig] = None):
+    def loss_elem(params, imgs, labs, key, dropout_key):
+        return diffusion_loss(loss_cfg, precond_apply, params, imgs, labs,
+                              key, augment_cfg, dropout_key=dropout_key)
+
+    return make_train_step_from_loss(loss_elem, tx, cfg)
+
+
+def make_train_step_from_loss(loss_elem_fn: Callable,
+                              tx: optax.GradientTransformation,
+                              cfg: EDMLoopConfig):
+    """Generic accumulate+update+EMA step from a per-element loss callable
+    `loss_elem_fn(params, imgs, labels, key, dropout_key) -> array` (any
+    shape whose leading dim is the microbatch; summed over elements and
+    normalized by total images). Shared by the EDM losses and the DDPM/iDDPM
+    trainer (train/ddpm_training.py)."""
     rounds = cfg.num_accumulation_rounds
 
     def train_step(state: EDMTrainState, images, labels, key: jax.Array):
@@ -153,8 +168,7 @@ def make_edm_train_step(loss_cfg, precond_apply: Callable,
             def round_body(acc, xs):
                 imgs, labs, k = xs
                 kd, kl = jax.random.split(k)
-                li = diffusion_loss(loss_cfg, precond_apply, params, imgs, labs,
-                                    kl, augment_cfg, dropout_key=kd)
+                li = loss_elem_fn(params, imgs, labs, kl, kd)
                 return acc + li.sum(), li.mean()
 
             keys = jax.random.split(key, rounds)
