@@ -375,44 +375,35 @@ def test_int8_50step_loop_quality_drift():
 # So per-image max-abs drift up to at least ~0.33 is measured FID-neutral;
 # the 0.25 trajectory budget the regression tests above enforce sits INSIDE
 # that envelope. The distribution-level stats are the sensitive regression
-# signal, hence the budgets asserted below (2x the 18-step measurement).
-# The sweep artifacts are machine-local (gitignored, built once by
-# benchmarks/study32.py on the bench host): resolve via NLC_STUDY_DIR like
-# study32.py itself does, falling back to the repo-root study32/ where the
-# bench host keeps them. Elsewhere this calibration test skips — visibly,
-# so its absence is a signal rather than silence.
-STUDY32_SWEEP = os.path.join(
-    os.environ.get("NLC_STUDY_DIR",
-                   os.path.join(os.path.dirname(os.path.dirname(
-                       os.path.abspath(__file__))), "study32")), "sweep")
-DRIFT_MEAN_BUDGET = 0.022     # 2x measured 0.011 (18-step trained models)
-DRIFT_MEDMAX_BUDGET = 0.08    # 2x measured 0.039
+# signal, hence the budgets asserted below.
+#
+# The round-3 32^2 assets were machine-local and twice erased by VM
+# re-images (the r4 suite carried a visible skip). Round 5 committed the
+# calibration pairs to git (VERDICT r4 #6): 256 paired same-seed 64^2
+# samples from the study64 isolation cells (fresh 128-kimg SongUNet-64,
+# 18-step NLC 'pred' bf16 vs int8-conv — measurements/r5/study64_isolation
+# .json puts their FID delta at +1.4%, inside the 2% clause). Measured
+# drift on the committed pairs: mean 0.0083, median per-image max 0.0392,
+# p99 max 0.160 — consistent with the 32^2 measurements above. Budgets
+# stay 2x the measurement.
+DRIFT_NPZ = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchmarks", "measurements", "r5", "int8_drift_pairs_64.npz")
+DRIFT_MEAN_BUDGET = 0.017     # 2x measured 0.0083 (committed 64^2 pairs)
+DRIFT_MEDMAX_BUDGET = 0.08    # 2x measured 0.0392
 
 
-@pytest.mark.skipif(
-    not os.path.isdir(os.path.join(STUDY32_SWEEP,
-                                   "s18_pred_partial-pred_int8conv")),
-    reason="study32 sweep assets not at $NLC_STUDY_DIR (machine-local, "
-           "built by benchmarks/study32.py on the bench host) — the int8 "
-           "drift calibration regression is NOT running")
 def test_int8_drift_calibrated_on_trained_models():
-    """Regress the int8 'conv' backend against the trained-model drift that
-    the 32^2 study measured to be FID-neutral: the bf16 and int8 sweep
-    cells sampled the SAME seeds, so their saved PNGs are a paired
-    trajectory-endpoint comparison on real (trained) weights — unlike the
-    random-weight bounds above, a drift regression here is calibrated
-    against an actual FID measurement (see module comment)."""
-    from PIL import Image
-
-    def load(cell, n=256):
-        d = os.path.join(STUDY32_SWEEP, cell, "0", "images")
-        fs = sorted(os.listdir(d))[:n]
-        assert len(fs) == n, f"{cell}: expected >= {n} samples"
-        return np.stack([np.asarray(Image.open(os.path.join(d, f)),
-                                    np.float32) for f in fs])
-
-    a = load("s18_pred_partial-pred")
-    b = load("s18_pred_partial-pred_int8conv")
+    """Regress the int8 'conv' backend against trained-model drift that a
+    paired FID measurement showed to be inside the 2% clause: the bf16 and
+    int8 sweep cells sampled the SAME seeds, so the committed arrays are a
+    paired trajectory-endpoint comparison on real (trained) weights —
+    unlike the random-weight bounds above, a drift regression here is
+    calibrated against an actual FID measurement (see module comment)."""
+    data = np.load(DRIFT_NPZ)
+    a = data["bf16"].astype(np.float32)
+    b = data["int8conv"].astype(np.float32)
+    assert a.shape == b.shape and len(a) == 256, a.shape
     diff = np.abs(a - b) / 127.5  # [-1,1] scale
     per_img_max = diff.reshape(len(diff), -1).max(1)
     assert float(diff.mean()) < DRIFT_MEAN_BUDGET, float(diff.mean())
