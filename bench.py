@@ -353,19 +353,24 @@ def main():
         # 552M ADM 256^2 headline model, whose own int8 evidence is the
         # trajectory-drift bounds
         result["note"] = ("W8A8 int8 ('auto' per-shape routing: 3x3 stride-1 "
-                          "convs int8, 1x1/strided bf16 — a strict subset of "
-                          "the 'conv' backend the quality evidence was "
-                          "measured with) + fused norm epilogues; FID-neutral "
-                          "at 32^2 on a trained SongUNet (-0.2% at 18 steps, "
-                          "fallback-embedding FID — measurements/r3/study32) "
-                          "but +6-7% on the 64^2 NLC loop with full 'conv' "
-                          "quant (measurements/r4/study64_results.json — "
-                          "scale-dependent, see BENCHMARKS 'The 64^2 "
-                          "study'), with embedding-independent paired "
-                          "evidence 44.9 dB PSNR vs the bf16 loop's own "
-                          "samples (measurements/r4/int8_paired_quality"
-                          ".json); on this 256^2 ADM model int8 evidence is "
-                          "drift bounds (tests/test_quant.py); "
+                          "convs int8, 1x1/strided bf16) + fused norm "
+                          "epilogues. Quality clause (FID within 2% of bf16) "
+                          "measured on the SHIPPED 'auto' backend with "
+                          "same-model paired cells at two scales: 32^2 -0.2% "
+                          "at 18 steps (measurements/r3/study32, 'conv' "
+                          "superset), 64^2 +1.8%/+1.3% at 18/10 steps "
+                          "(measurements/r4/study64_isolation.json, 'auto' "
+                          "directly; base-vs-pred controls attribute the "
+                          "delta to raw quant drift, not NLC interaction — "
+                          "the erased r4 400-kimg model's +6-7% full-'conv' "
+                          "outlier could not be reproduced and is disclosed "
+                          "in BENCHMARKS 'The 64^2 isolation + crossover "
+                          "cells'). Embedding-independent paired evidence: "
+                          "44.9 dB PSNR vs the bf16 loop's samples "
+                          "(measurements/r4/int8_paired_quality.json); "
+                          "committed drift-pair regression guards the "
+                          "envelope (tests/test_quant.py). On this 256^2 ADM "
+                          "model int8 evidence is drift bounds; "
                           "NLC_BENCH_QUANT=bf16 reproduces the unquantized "
                           "loop")
     print(json.dumps(result))
