@@ -84,46 +84,40 @@ def _norm_conv_kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, out_ref,
                 cp.start()
                 cp.wait()
 
-    # --- 2. folded normalize+FiLM+SiLU into the width-padded scratch
+    # --- 2. folded normalize+FiLM+SiLU, written as a channel-concat of
+    # the three column shifts (kx = -1, 0, +1) so every conv tap below is
+    # a SUBLANE-ALIGNED contiguous matmul slice. The v1 layout
+    # (width-padded flatten, 9 taps at row offsets ky*(W+2)+kx) measured
+    # 69 TF/s at 256^2x256 vs XLA conv's 138 — Mosaic pays a shift before
+    # every unaligned-slice matmul (measurements/r5/normconv_probe.jsonl).
     z = xs[...].astype(jnp.float32) * a_ref[n][None, None, :] \
         + b_ref[n][None, None, :]
     if act == "silu":
         z = _silu(z)
-    zs[0:th + 2, 1:w_pix + 1, :] = z.astype(zs.dtype)
-    zs[0:th + 2, 0, :] = jnp.zeros((th + 2, c), zs.dtype)
-    zs[0:th + 2, w_pix + 1, :] = jnp.zeros((th + 2, c), zs.dtype)
-    # the image-boundary halo rows are 'same' zero padding of the CONV
-    # INPUT: they must be zero post-activation (silu(a*0+b) != 0)
+    # image-boundary halo rows are 'same' zero padding of the CONV INPUT:
+    # they must be zero post-activation (silu(a*0+b) != 0)
     if n_tiles == 1:
-        zs[0] = jnp.zeros_like(zs[0])
-        zs[th + 1] = jnp.zeros_like(zs[0])
+        z = z.at[0].set(0.0).at[th + 1].set(0.0)
     else:
-        @pl.when(j == 0)
-        def _zero_top():
-            zs[0] = jnp.zeros_like(zs[0])
+        zt = jnp.where(j == 0, 0.0, z[0])
+        zb = jnp.where(j == n_tiles - 1, 0.0, z[th + 1])
+        z = z.at[0].set(zt).at[th + 1].set(zb)
+    zb16 = z.astype(zs.dtype)
+    zero_col = jnp.zeros((th + 2, 1, c), zs.dtype)
+    zs[:, :, 0:c] = jnp.concatenate([zero_col, zb16[:, :w_pix - 1]], axis=1)
+    zs[:, :, c:2 * c] = zb16
+    zs[:, :, 2 * c:3 * c] = jnp.concatenate([zb16[:, 1:], zero_col], axis=1)
 
-        @pl.when(j == n_tiles - 1)
-        def _zero_bot():
-            zs[th + 1] = jnp.zeros_like(zs[0])
-    # row th+2 is flatten-overhang padding for the ky=2 taps: the last
-    # tap's contiguous slice runs 2 rows past (th+2)*(W+2); those rows land
-    # only in garbage output columns (w' >= W) but must be readable
-    zs[th + 2] = jnp.zeros_like(zs[0])
-
-    # --- 3. conv3x3 as 9 contiguous-slice matmuls on the flattened scratch
-    wp = w_pix + 2
-    zf = zs[...].reshape((th + 3) * wp, c)
-    m = th * wp
+    # --- 3. conv3x3 as 3 aligned matmuls (K = 3C) over the row taps
+    zf = zs[...].reshape((th + 2) * w_pix, 3 * c)
+    m = th * w_pix
     acc = jnp.zeros((m, cout), jnp.float32)
     for ky in range(3):
-        for kx in range(3):
-            off = ky * wp + kx
-            tap = zf[off:off + m, :]
-            wk = w_ref[(ky * 3 + kx) * c:(ky * 3 + kx + 1) * c, :]
-            acc = acc + jnp.dot(tap, wk,
-                                preferred_element_type=jnp.float32)
+        tap = zf[ky * w_pix:ky * w_pix + m, :]
+        wk = w_ref[ky * 3 * c:(ky + 1) * 3 * c, :]
+        acc = acc + jnp.dot(tap, wk, preferred_element_type=jnp.float32)
     acc = acc + bias_ref[0][None, :]
-    out_ref[0] = acc.reshape(th, wp, cout)[:, :w_pix, :].astype(out_ref.dtype)
+    out_ref[0] = acc.reshape(th, w_pix, cout).astype(out_ref.dtype)
 
 
 def _row_tile_conv(h: int, w: int, c: int, cout: int) -> int:
@@ -133,9 +127,9 @@ def _row_tile_conv(h: int, w: int, c: int, cout: int) -> int:
     for th in (16, 8, 4):
         if h % th != 0:
             continue
-        zs = (th + 2) * (w + 2) * c * 2
+        zs = (th + 2) * w * 3 * c * 2
         xs = (th + 2) * w * c * 2
-        acc = th * (w + 2) * cout * 4
+        acc = th * w * cout * 4
         wgt = 9 * c * cout * 2
         out2 = 2 * th * w * cout * 2
         if zs + xs + acc + wgt + out2 < 12 * 1024 * 1024:
@@ -196,7 +190,7 @@ def fused_groupnorm_silu_conv(x: jnp.ndarray, gamma: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n, h, wid, cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 2, wid, c), jnp.bfloat16),
-            pltpu.VMEM((th + 3, wid + 2, c), jnp.bfloat16),
+            pltpu.VMEM((th + 2, wid, 3 * c), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
