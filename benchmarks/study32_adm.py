@@ -82,6 +82,17 @@ SWEEP_GRID = [            # (steps, sigma_type, quant)
     (18, "pred", "conv"),
     (10, "pred", "conv"),
     (18, "base", "conv"),
+    # deep few-step crossover (the first 9 cells put the 300-kimg model's
+    # NLC crossover at ~10 steps with a tie at 5 — push to 3)
+    (3, "base", ""),
+    (3, "pred", ""),
+    (3, "pred_fast", ""),
+    # the SHIPPED 'auto' routing on this family: full-'conv' measured
+    # +2.7-3.4% on this sharp model (outside the clause), so the default's
+    # claim rests on auto's strict-subset routing being materially lighter
+    (18, "pred", "auto"),
+    (10, "pred", "auto"),
+    (18, "base", "auto"),
 ]
 
 
