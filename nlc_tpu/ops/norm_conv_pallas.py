@@ -95,13 +95,15 @@ def _norm_conv_kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, out_ref,
     if act == "silu":
         z = _silu(z)
     # image-boundary halo rows are 'same' zero padding of the CONV INPUT:
-    # they must be zero post-activation (silu(a*0+b) != 0)
+    # they must be zero post-activation (silu(a*0+b) != 0). Masked select
+    # (not .at[].set(): scatter has no Mosaic lowering)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
     if n_tiles == 1:
-        z = z.at[0].set(0.0).at[th + 1].set(0.0)
+        kill = (rows == 0) | (rows == th + 1)
     else:
-        zt = jnp.where(j == 0, 0.0, z[0])
-        zb = jnp.where(j == n_tiles - 1, 0.0, z[th + 1])
-        z = z.at[0].set(zt).at[th + 1].set(zb)
+        kill = ((rows == 0) & (j == 0)) | \
+               ((rows == th + 1) & (j == n_tiles - 1))
+    z = jnp.where(kill, 0.0, z)
     zb16 = z.astype(zs.dtype)
     zero_col = jnp.zeros((th + 2, 1, c), zs.dtype)
     zs[:, :, 0:c] = jnp.concatenate([zero_col, zb16[:, :w_pix - 1]], axis=1)
