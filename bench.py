@@ -354,25 +354,26 @@ def main():
         # trajectory-drift bounds
         result["note"] = ("W8A8 int8 ('auto' per-shape routing: 3x3 stride-1 "
                           "convs int8, 1x1/strided bf16) + fused norm "
-                          "epilogues. Quality clause (FID within 2% of bf16) "
-                          "measured on the SHIPPED 'auto' backend with "
-                          "same-model paired cells at two scales: 32^2 -0.2% "
-                          "at 18 steps (measurements/r3/study32, 'conv' "
-                          "superset), 64^2 +1.8%/+1.3% at 18/10 steps "
-                          "(measurements/r4/study64_isolation.json, 'auto' "
-                          "directly; base-vs-pred controls attribute the "
-                          "delta to raw quant drift, not NLC interaction — "
-                          "the erased r4 400-kimg model's +6-7% full-'conv' "
-                          "outlier could not be reproduced and is disclosed "
-                          "in BENCHMARKS 'The 64^2 isolation + crossover "
-                          "cells'). Embedding-independent paired evidence: "
-                          "44.9 dB PSNR vs the bf16 loop's samples "
+                          "epilogues — a bench default for THIS ADM "
+                          "workload only (the shipped CLIs default to bf16; "
+                          "--quant is opt-in). Architecture-matched quality "
+                          "evidence: on a sharp from-scratch ADM-32, 'auto' "
+                          "measures BETTER than bf16 (-3.2%/-3.5% FID, "
+                          "same-model paired cells) while full-'conv' costs "
+                          "+3% — the sensitive sites are exactly the "
+                          "1x1/strided convs 'auto' keeps bf16 (BENCHMARKS "
+                          "'The ADM-family study'); flagship-class paired "
+                          "PSNR 44.9 dB vs the bf16 loop "
                           "(measurements/r4/int8_paired_quality.json); "
                           "committed drift-pair regression guards the "
-                          "envelope (tests/test_quant.py). On this 256^2 ADM "
-                          "model int8 evidence is drift bounds; "
-                          "NLC_BENCH_QUANT=bf16 reproduces the unquantized "
-                          "loop")
+                          "envelope (tests/test_quant.py). Validity "
+                          "boundary, disclosed: int8 FID cost grows with "
+                          "model sharpness and on SongUNet-64 ('auto'~='conv' "
+                          "there) a sharp 400-kimg model pays +8% "
+                          "(measurements/r5/study64_sharp_isolation.json) — "
+                          "A/B per model before enabling int8 on "
+                          "EDM/SongUNet workloads. NLC_BENCH_QUANT=bf16 "
+                          "reproduces the unquantized loop")
     print(json.dumps(result))
 
 
