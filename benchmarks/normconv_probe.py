@@ -136,6 +136,7 @@ def main():
                                   r.get("variant")))
                 except (ValueError, KeyError):
                     pass
+    clean = True
     for res, cin, cout in shapes:
         for variant in variants:
             if (res, cin, variant) in done:
@@ -146,11 +147,16 @@ def main():
             except Exception as e:
                 r = {"res": res, "cin": cin, "variant": variant,
                      "error": f"{type(e).__name__}: {e}"[:200]}
+                clean = False
             line = json.dumps(r)
             print(line, flush=True)
             with open(OUT, "a") as fh:
                 fh.write(line + "\n")
-    print("NORMCONV_DONE", flush=True)
+    # only claim DONE when every cell has a real measurement — queue retry
+    # loops grep for this, and an errored cell must trigger the retry
+    # (round-5 queue 3 broke out early on a DONE printed over error rows)
+    print("NORMCONV_DONE" if clean else "NORMCONV_INCOMPLETE (errors above)",
+          flush=True)
 
 
 if __name__ == "__main__":

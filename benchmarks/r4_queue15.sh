@@ -31,10 +31,13 @@ export NLC_STUDY64_CELLS="s18_base-base,s18_base-base_qconv,s18_pred_partial-pre
 gate
 run "flagsweep_nolhs" timeout 900 python benchmarks/flagsweep.py nolhs
 
+# outer timeout 4300 >> budget 2600 + longest unit (~1100 s): the internal
+# clean exit, never the SIGTERM, ends the process (ADVICE r4 — an outer
+# SIGTERM mid-compile has wedged the tunneled plane three times)
 for attempt in 1 2 3 4; do
   gate
   run "study64_q15_${attempt}" env NLC_STUDY_BUDGET_S=2600 \
-    timeout 3700 python benchmarks/study64.py auto
+    timeout 4300 python benchmarks/study64.py auto
   grep -q "DONE" "logs/r4/study64_q15_${attempt}.log" && break
 done
 
