@@ -133,14 +133,14 @@ def main():
                     r = json.loads(line)
                     if "error" not in r:
                         done.add((r.get("res"), r.get("cin"),
-                                  r.get("variant")))
+                                  r.get("cout"), r.get("variant")))
                 except (ValueError, KeyError):
                     pass
     clean = True
     for res, cin, cout in shapes:
         for variant in variants:
-            if (res, cin, variant) in done:
-                print(f"skip {res},{cin},{variant} (done)", flush=True)
+            if (res, cin, cout, variant) in done:
+                print(f"skip {res},{cin},{cout},{variant} (done)", flush=True)
                 continue
             try:
                 r = bench_one(res, cin, cout, variant)

@@ -82,7 +82,9 @@ def main(args):
 
     tables = make_ddpm_tables(
         config.diffusion.num_diffusion_timesteps,
-        schedule=config.diffusion.beta_schedule)
+        schedule=config.diffusion.beta_schedule,
+        beta_start=config.diffusion.get("beta_start", 1e-4),
+        beta_end=config.diffusion.get("beta_end", 0.02))
 
     if args.data and os.path.exists(args.data):
         ds = EDMImageDataset(args.data, resolution=res,
@@ -96,6 +98,9 @@ def main(args):
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0, t0)
 
     micro = args.batch_gpu or args.batch
+    assert args.batch % micro == 0, \
+        f"--batch {args.batch} must divide by --batch_gpu {micro} " \
+        "(cur_nimg/EMA/lr-ramp account batch_size images per step)"
     rounds = max(args.batch // micro, 1)
     loop_cfg = EDMLoopConfig(
         total_kimg=args.duration_kimg, batch_size=args.batch,

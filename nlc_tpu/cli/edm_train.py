@@ -116,6 +116,10 @@ def main(args):
     params = model.init(jax.random.PRNGKey(args.seed), x0, nl0, **init_kwargs)
 
     micro = args.batch_gpu or args.batch
+    assert args.batch % micro == 0, \
+        f"--batch {args.batch} must divide by --batch_gpu {micro} " \
+        "(cur_nimg/EMA/lr-ramp account batch_size images per step; the " \
+        "reference training loop asserts the same)"
     rounds = max(args.batch // micro, 1)
     loop_cfg = EDMLoopConfig(
         total_kimg=args.duration_kimg, batch_size=args.batch,

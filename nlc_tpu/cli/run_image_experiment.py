@@ -128,11 +128,19 @@ def get_args(argv=None):
 
 def main(args, config):
     logger.configure(dir="./logs/")
-    # run-dir allocation with auto-increment (reference :147-165)
-    i = 0
-    while os.path.exists(os.path.join(args.result_dir, str(i))):
-        i += 1
-    save_dir = os.path.join(args.result_dir, str(i))
+    # run-dir allocation: --load_folder resumes INTO the named run dir
+    # (run_edm_experiment.py semantics — chunked-resume callers depend on
+    # later chunks overwriting the same dir's checkpoints); otherwise
+    # auto-increment (reference :147-165). Previously --load_folder was
+    # parsed but ignored here, so a resumed chunk silently wrote its
+    # checkpoints to a NEW dir while callers kept reading the old one.
+    if args.load_folder is not None:
+        save_dir = os.path.join(args.result_dir, args.load_folder)
+    else:
+        i = 0
+        while os.path.exists(os.path.join(args.result_dir, str(i))):
+            i += 1
+        save_dir = os.path.join(args.result_dir, str(i))
     os.makedirs(save_dir, exist_ok=True)
     dump_args(args, os.path.join(save_dir, "args.json"))
     logger.log("run dir:", save_dir)

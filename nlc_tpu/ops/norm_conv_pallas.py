@@ -41,7 +41,8 @@ from .groupnorm_pallas import (_affine_coeffs, _finalize, _silu,
 def _norm_conv_kernel(x_hbm, a_ref, b_ref, w_ref, bias_ref, out_ref,
                       xs, zs, sem, *, th, n_tiles, act):
     """Grid (N, H // th). x_hbm: full (N, H, W, C) in ANY/HBM.
-    xs: (th+2, W, C) raw-row scratch; zs: (th+3, W+2, C) normalized+padded;
+    xs: (th+2, W, C) raw-row scratch; zs: (th+2, W, 3C) — the normalized
+    tile's three column shifts channel-concatenated (see step 2 below);
     w_ref: (9*C, Cout); out block (1, th, W, Cout)."""
     n = pl.program_id(0)
     j = pl.program_id(1)
@@ -163,6 +164,11 @@ def fused_groupnorm_silu_conv(x: jnp.ndarray, gamma: jnp.ndarray,
     g = min(num_groups, c)
     th = _row_tile_conv(h, wid, c, cout)
     assert th > 0, f"no VMEM-feasible row tile for {x.shape} -> {cout}"
+    # the fused pallas_call below has no non-TPU lowering; fail loudly
+    # rather than routing stats through the CPU oracle and then crashing
+    assert interpret or jax.default_backend() == "tpu", \
+        "fused_groupnorm_silu_conv runs on TPU only (pass interpret=True " \
+        "elsewhere); use reference_groupnorm_silu_conv for the XLA path"
 
     if interpret or jax.default_backend() == "tpu":
         s, m2, _, _ = _stats_pallas(x, interpret=interpret)
