@@ -358,7 +358,7 @@ def main():
                           "workload only (the shipped CLIs default to bf16; "
                           "--quant is opt-in). Architecture-matched quality "
                           "evidence: on a sharp from-scratch ADM-32, 'auto' "
-                          "measures BETTER than bf16 (-3.2%/-3.5% FID, "
+                          "measures BETTER than bf16 (-2.3%/-3.2% FID, "
                           "same-model paired cells) while full-'conv' costs "
                           "+3% — the sensitive sites are exactly the "
                           "1x1/strided convs 'auto' keeps bf16 (BENCHMARKS "

@@ -552,3 +552,30 @@ def test_edm_sample_cli_quant_and_pred_fast(store, tmp_path):
         "--test_dir", str(tmp_path / "edmq")])
     main(args, config)
     assert len(os.listdir(os.path.join(args.test_dir, "0", "images"))) == 2
+
+
+def test_train_cli_load_folder_resumes_into_same_run_dir(store, tmp_path):
+    """--load_folder must route a resumed chunk INTO the named run dir
+    (run_edm_experiment semantics) — it was previously parsed but ignored,
+    so chunk 2's checkpoints landed in a fresh dir while chunked callers
+    kept reading the old one (the round-5 ADM-study half-head bug)."""
+    from nlc_tpu.cli.run_image_experiment import get_args, main
+    from nlc_tpu.io.checkpoints import load_pytree
+    base = ["--config", "celeba", "--config_path", "tiny", "--store_dir",
+            store, "--epoch", "1", "--iter_per_epoch", "2",
+            "--eval_per_epoch", "5", "--save_per_epoch", "1",
+            "--batch_size", "2", "--bf16", "0", "--sigma_block", "2",
+            "--num_timesteps", "3", "--result_dir", str(tmp_path / "train")]
+    main(*get_args(base))
+    run_dir = os.path.join(str(tmp_path / "train"), "celeba", "0")
+    args2, config2 = get_args(base + [
+        "--load_folder", "0",
+        "--resume_model", os.path.join(run_dir, "sigma_ckpt_0"),
+        "--resume_ema_model", os.path.join(run_dir, "ema_sigma_ckpt_0"),
+        "--resume_optim", os.path.join(run_dir, "optim_state")])
+    main(args2, config2)
+    # no auto-incremented dir; the resumed chunk overwrote dir 0's ckpts
+    assert not os.path.exists(
+        os.path.join(str(tmp_path / "train"), "celeba", "1"))
+    opt = load_pytree(os.path.join(run_dir, "optim_state"))
+    assert int(np.asarray(opt["step"])) == 4
